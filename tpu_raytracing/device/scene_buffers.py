@@ -1,0 +1,654 @@
+"""Scene -> device SoA buffers ("compile" the scene for the TPU renderer).
+
+TPU-native replacement for both of the reference's backend scene preps
+(raytracing-cpu/src/scene.rs BVH build; raytracing-optix/src/scene.rs GAS/IAS
++ SBT + texture upload): the primitive DAG is flattened by composing transform
+chains down to each BasicPrimitive (mirroring Scene::descendants_iter
+semantics, scene/scene.rs:201-224), triangle geometry is pre-transformed to
+world space into structure-of-arrays buffers, a skip-link BVH is built over
+the world-space triangles, and materials/textures/images/lights become flat
+indexed tables. Everything is uploaded once per scene via device_put; renders
+never re-upload (unlike the per-launch cudaMemcpy in pipeline.cu:471-556).
+
+Spheres stay in object space with per-sphere o2w/w2o matrices (non-uniform
+scales make world-space spheres ellipsoids); scenes have few analytic spheres
+so they are brute-force intersected outside the BVH.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..accel import build_bvh
+from ..geometry import Sphere, Transform, TriangleMesh
+from ..lights import (
+    DiffuseAreaLight, DirectionLight, EnvironmentLight, PointLight,
+)
+from ..materials import (
+    CheckerTexture, CoatedDiffuse, ConstantTexture, Diffuse, FilterMode,
+    ImageTexture, MixTexture, RoughConductor, RoughDielectric, ScaleTexture,
+    SmoothConductor, SmoothDielectric,
+)
+from ..scene import BasicPrimitive, Scene
+from ..scene.camera import Orthographic, PinholePerspective, ThinLensPerspective
+
+F = np.float32
+
+# material kinds
+MAT_DIFFUSE = 0
+MAT_SMOOTH_DIELECTRIC = 1
+MAT_SMOOTH_CONDUCTOR = 2
+MAT_ROUGH_DIELECTRIC = 3
+MAT_ROUGH_CONDUCTOR = 4
+MAT_COATED_DIFFUSE = 5
+
+# texture kinds
+TEX_IMAGE = 0
+TEX_CONSTANT = 1
+TEX_CHECKER = 2
+TEX_SCALE = 3
+TEX_MIX = 4
+
+# light kinds
+LIGHT_POINT = 0
+LIGHT_DIRECTION = 1
+LIGHT_AREA = 2
+
+# camera kinds
+CAM_ORTHOGRAPHIC = 0
+CAM_PINHOLE = 1
+CAM_THIN_LENS = 2
+
+
+@dataclass(frozen=True)
+class SceneMeta:
+    """Static (hashable) scene facts; part of the jit specialization key."""
+
+    n_tris: int
+    n_spheres: int
+    n_lights: int
+    n_materials: int
+    n_textures: int
+    light_kinds: Tuple[int, ...]
+    mat_kinds_present: Tuple[int, ...]
+    has_env: bool
+    env_tex: int
+    # camera
+    cam_kind: int
+    width: int
+    height: int
+    near_clip: float
+    far_clip: float
+    aperture_radius: float
+    focal_distance: float
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DeviceScene:
+    # triangles, world-space, BVH order, padded
+    tri_p0: jax.Array
+    tri_p1: jax.Array
+    tri_p2: jax.Array
+    tri_n0: jax.Array
+    tri_n1: jax.Array
+    tri_n2: jax.Array
+    tri_uv0: jax.Array
+    tri_uv1: jax.Array
+    tri_uv2: jax.Array
+    tri_mat: jax.Array
+    tri_light: jax.Array
+    tri_has_n: jax.Array
+    tri_has_uv: jax.Array
+    # skip-link BVH
+    bvh_min: jax.Array
+    bvh_max: jax.Array
+    bvh_first: jax.Array
+    bvh_count: jax.Array
+    bvh_skip: jax.Array
+    # spheres (object-space)
+    sph_center: jax.Array
+    sph_radius: jax.Array
+    sph_o2w: jax.Array
+    sph_w2o: jax.Array
+    sph_mat: jax.Array
+    sph_light: jax.Array
+    # materials
+    mat_kind: jax.Array
+    mat_tex: jax.Array      # (M, 5) texture ids, -1 = unset
+    mat_remap: jax.Array    # (M,) bool remap_roughness
+    # textures (one level of indirection; scale/mix reference leaves)
+    tex_kind: jax.Array
+    tex_v0: jax.Array       # (X, 4) constant value / checker color1
+    tex_v1: jax.Array       # (X, 4) checker color2
+    tex_ref: jax.Array      # (X, 3) scale/mix refs or (image_id, -1, -1)
+    tex_filter: jax.Array
+    tex_wrap: jax.Array
+    # image mip atlas
+    img_texels: jax.Array        # (P, 4)
+    img_level_offset: jax.Array  # (LV,)
+    img_level_w: jax.Array
+    img_level_h: jax.Array
+    img_first_level: jax.Array   # (I,)
+    img_n_levels: jax.Array
+    # lights
+    light_kind: jax.Array
+    light_va: jax.Array     # (L, 3) position / direction
+    light_vb: jax.Array     # (L, 3) intensity / radiance
+    light_emit_first: jax.Array
+    light_emit_count: jax.Array
+    # area-light emitter triangles (world-space)
+    em_p0: jax.Array
+    em_p1: jax.Array
+    em_p2: jax.Array
+    em_n0: jax.Array
+    em_n1: jax.Array
+    em_n2: jax.Array
+    em_area: jax.Array
+    em_has_n: jax.Array
+    # camera
+    cam_raster_to_camera: jax.Array  # (4, 4)
+    cam_camera_to_world: jax.Array   # (4, 4)
+    cam_min_diff: jax.Array          # (4, 3) x_o, y_o, x_d, y_d
+    # scene bounds
+    bounds_center: jax.Array
+    bounds_radius: jax.Array
+    # static (hashable; not a pytree leaf)
+    meta: SceneMeta = field(metadata=dict(static=True))
+
+
+def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    if a.shape[0] >= n:
+        return a
+    pad = np.full((n - a.shape[0], *a.shape[1:]), fill, a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+def _flatten_primitives(scene: Scene):
+    """Yield (BasicPrimitive, prim_index, composed world Transform)."""
+    out = []
+
+    def walk(agg_idx: int, outer: Transform):
+        for i in range(len(scene.get_aggregate(agg_idx).children)):
+            idx, t = scene.get_descendant(agg_idx, i)
+            composed = t.compose(outer)
+            prim = scene.get_primitive(idx)
+            if isinstance(prim, BasicPrimitive):
+                out.append((prim, idx, composed))
+            else:
+                walk(idx, composed)
+
+    walk(scene.root_index(), Transform.identity())
+    return out
+
+
+def _normal_matrix(t: Transform) -> np.ndarray:
+    return t.inverse[:3, :3].T.copy()
+
+
+def _build_mip_pyramid(data: np.ndarray):
+    """Box-filter mip pyramid over a pow2-square padded copy.
+
+    The reference uses a Lanczos3 pyramid (texture.rs:114-165); box filtering
+    is a placeholder with the same level structure (refine later).
+    """
+    h, w = data.shape[:2]
+    size = 1 << int(np.ceil(np.log2(max(h, w, 1))))
+    levels = []
+    if (h, w) != (size, size):
+        ys = (np.arange(size) * h // size).clip(0, h - 1)
+        xs = (np.arange(size) * w // size).clip(0, w - 1)
+        cur = data[ys][:, xs]
+    else:
+        cur = data
+    levels.append(cur.astype(F))
+    while cur.shape[0] > 1:
+        cur = (
+            cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2]
+        ) * 0.25
+        levels.append(cur.astype(F))
+    return levels
+
+
+def compile_scene(scene: Scene) -> DeviceScene:
+    prims = _flatten_primitives(scene)
+
+    # ---------------- triangles + spheres
+    tp0, tp1, tp2 = [], [], []
+    tn0, tn1, tn2 = [], [], []
+    tuv0, tuv1, tuv2 = [], [], []
+    tmat, tlight, thasn, thasuv = [], [], [], []
+    sph = []
+
+    for prim, prim_idx, t in prims:
+        mat_id = prim.material if prim.material is not None else 0
+        light_id = prim.area_light if prim.area_light is not None else -1
+        shape = prim.shape
+        if isinstance(shape, Sphere):
+            sph.append((shape, t, mat_id, light_id))
+            continue
+        assert isinstance(shape, TriangleMesh)
+        mesh = shape.mesh
+        nt = mesh.tris.shape[0]
+        if nt == 0:
+            continue
+        m = t.forward
+        verts_h = mesh.vertices @ m[:3, :3].T + m[:3, 3]
+        tri = mesh.tris.astype(np.int64)
+        tp0.append(verts_h[tri[:, 0]])
+        tp1.append(verts_h[tri[:, 1]])
+        tp2.append(verts_h[tri[:, 2]])
+        if mesh.has_normals:
+            nm = _normal_matrix(t)
+            norms = mesh.normals @ nm.T
+            tn0.append(norms[tri[:, 0]])
+            tn1.append(norms[tri[:, 1]])
+            tn2.append(norms[tri[:, 2]])
+            thasn.append(np.ones(nt, bool))
+        else:
+            z = np.zeros((nt, 3), F)
+            tn0.append(z)
+            tn1.append(z)
+            tn2.append(z)
+            thasn.append(np.zeros(nt, bool))
+        if mesh.has_uvs:
+            tuv0.append(mesh.uvs[tri[:, 0]])
+            tuv1.append(mesh.uvs[tri[:, 1]])
+            tuv2.append(mesh.uvs[tri[:, 2]])
+            thasuv.append(np.ones(nt, bool))
+        else:
+            z = np.zeros((nt, 2), F)
+            tuv0.append(z)
+            tuv1.append(z)
+            tuv2.append(z)
+            thasuv.append(np.zeros(nt, bool))
+        tmat.append(np.full(nt, mat_id, np.int32))
+        tlight.append(np.full(nt, light_id, np.int32))
+
+    def cat(parts, shape, dtype=F):
+        if parts:
+            return np.concatenate(parts, axis=0).astype(dtype)
+        return np.zeros((0, *shape), dtype)
+
+    tri_p0 = cat(tp0, (3,))
+    tri_p1 = cat(tp1, (3,))
+    tri_p2 = cat(tp2, (3,))
+    tri_n0 = cat(tn0, (3,))
+    tri_n1 = cat(tn1, (3,))
+    tri_n2 = cat(tn2, (3,))
+    tri_uv0 = cat(tuv0, (2,))
+    tri_uv1 = cat(tuv1, (2,))
+    tri_uv2 = cat(tuv2, (2,))
+    tri_mat = cat(tmat, (), np.int32)
+    tri_light = cat(tlight, (), np.int32)
+    tri_has_n = cat(thasn, (), bool)
+    tri_has_uv = cat(thasuv, (), bool)
+
+    n_tris = tri_p0.shape[0]
+
+    # ---------------- BVH over world-space triangles
+    prim_min = np.minimum(np.minimum(tri_p0, tri_p1), tri_p2)
+    prim_max = np.maximum(np.maximum(tri_p0, tri_p1), tri_p2)
+    bvh = build_bvh(prim_min, prim_max)
+    order = bvh.prim_order
+    if n_tris:
+        tri_p0, tri_p1, tri_p2 = tri_p0[order], tri_p1[order], tri_p2[order]
+        tri_n0, tri_n1, tri_n2 = tri_n0[order], tri_n1[order], tri_n2[order]
+        tri_uv0, tri_uv1, tri_uv2 = tri_uv0[order], tri_uv1[order], tri_uv2[order]
+        tri_mat, tri_light = tri_mat[order], tri_light[order]
+        tri_has_n, tri_has_uv = tri_has_n[order], tri_has_uv[order]
+
+    t_pad = _round_up(n_tris, 8)
+    tri_p0 = _pad_rows(tri_p0, t_pad)
+    tri_p1 = _pad_rows(tri_p1, t_pad)
+    tri_p2 = _pad_rows(tri_p2, t_pad)
+    tri_n0 = _pad_rows(tri_n0, t_pad)
+    tri_n1 = _pad_rows(tri_n1, t_pad)
+    tri_n2 = _pad_rows(tri_n2, t_pad)
+    tri_uv0 = _pad_rows(tri_uv0, t_pad)
+    tri_uv1 = _pad_rows(tri_uv1, t_pad)
+    tri_uv2 = _pad_rows(tri_uv2, t_pad)
+    tri_mat = _pad_rows(tri_mat, t_pad)
+    tri_light = _pad_rows(tri_light, t_pad, fill=-1)
+    tri_has_n = _pad_rows(tri_has_n, t_pad)
+    tri_has_uv = _pad_rows(tri_has_uv, t_pad)
+
+    n_nodes = bvh.n_nodes
+    nd_pad = _round_up(n_nodes, 8)
+    bvh_min = _pad_rows(bvh.node_min, nd_pad, fill=1.0)
+    bvh_max = _pad_rows(bvh.node_max, nd_pad, fill=-1.0)
+    bvh_first = _pad_rows(bvh.left_first, nd_pad)
+    bvh_count = _pad_rows(bvh.count, nd_pad)
+    bvh_skip = _pad_rows(bvh.skip, nd_pad, fill=n_nodes)
+
+    # ---------------- spheres
+    n_spheres = len(sph)
+    s_pad = _round_up(n_spheres, 8) if n_spheres else 0
+    sph_center = np.zeros((s_pad, 3), F)
+    sph_radius = np.zeros(s_pad, F)
+    sph_o2w = np.tile(np.eye(4, dtype=F), (s_pad, 1, 1))
+    sph_w2o = np.tile(np.eye(4, dtype=F), (s_pad, 1, 1))
+    sph_mat = np.zeros(s_pad, np.int32)
+    sph_light = np.full(s_pad, -1, np.int32)
+    for i, (shape, t, mat_id, light_id) in enumerate(sph):
+        sph_center[i] = shape.center
+        sph_radius[i] = shape.radius
+        sph_o2w[i] = t.forward
+        sph_w2o[i] = t.inverse
+        sph_mat[i] = mat_id
+        sph_light[i] = light_id
+
+    # ---------------- scene bounds (world AABB of all geometry)
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    if n_tris:
+        lo = np.minimum(lo, prim_min.min(axis=0))
+        hi = np.maximum(hi, prim_max.max(axis=0))
+    for i in range(n_spheres):
+        c, r = sph_center[i], sph_radius[i]
+        corners = c[None, :] + r * np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], F
+        )
+        m = sph_o2w[i]
+        wc = corners @ m[:3, :3].T + m[:3, 3]
+        lo = np.minimum(lo, wc.min(axis=0))
+        hi = np.maximum(hi, wc.max(axis=0))
+    if not np.all(np.isfinite(lo)):
+        lo, hi = np.zeros(3), np.zeros(3)
+    bounds_center = ((lo + hi) * 0.5).astype(F)
+    bounds_radius = F(np.linalg.norm(hi - lo) * 0.5)
+
+    # ---------------- materials
+    n_mats = max(1, len(scene.materials))
+    mat_kind = np.zeros(n_mats, np.int32)
+    mat_tex = np.full((n_mats, 5), -1, np.int32)
+    mat_remap = np.zeros(n_mats, bool)
+    kinds_present = set()
+    for i, m in enumerate(scene.materials):
+        if isinstance(m, Diffuse):
+            mat_kind[i] = MAT_DIFFUSE
+            mat_tex[i, 0] = m.albedo
+        elif isinstance(m, SmoothDielectric):
+            mat_kind[i] = MAT_SMOOTH_DIELECTRIC
+            mat_tex[i, 0] = m.eta
+        elif isinstance(m, SmoothConductor):
+            mat_kind[i] = MAT_SMOOTH_CONDUCTOR
+            mat_tex[i, 0] = m.eta
+            mat_tex[i, 1] = m.kappa
+        elif isinstance(m, RoughDielectric):
+            mat_kind[i] = MAT_ROUGH_DIELECTRIC
+            mat_tex[i, 0] = m.eta
+            mat_tex[i, 2] = m.roughness
+            mat_remap[i] = m.remap_roughness
+        elif isinstance(m, RoughConductor):
+            mat_kind[i] = MAT_ROUGH_CONDUCTOR
+            mat_tex[i, 0] = m.eta
+            mat_tex[i, 1] = m.kappa
+            mat_tex[i, 2] = m.roughness
+            mat_remap[i] = m.remap_roughness
+        elif isinstance(m, CoatedDiffuse):
+            mat_kind[i] = MAT_COATED_DIFFUSE
+            mat_tex[i, 0] = m.diffuse_albedo
+            mat_tex[i, 1] = m.dielectric_eta
+            mat_tex[i, 2] = (
+                m.dielectric_roughness if m.dielectric_roughness is not None else -1
+            )
+            mat_tex[i, 3] = m.thickness
+            mat_tex[i, 4] = m.coat_albedo
+            mat_remap[i] = m.dielectric_remap_roughness
+        else:
+            raise TypeError(f"unknown material: {m}")
+        kinds_present.add(int(mat_kind[i]))
+    if not scene.materials:
+        kinds_present.add(MAT_DIFFUSE)
+
+    # ---------------- images (mip atlas)
+    trilinear_images = set()
+    for t in scene.textures:
+        if isinstance(t, ImageTexture) and t.sampler.filter == FilterMode.TRILINEAR:
+            trilinear_images.add(t.image)
+
+    texels = []
+    level_offset, level_w, level_h = [], [], []
+    img_first_level = np.zeros(max(1, len(scene.images)), np.int32)
+    img_n_levels = np.zeros(max(1, len(scene.images)), np.int32)
+    offset = 0
+    for i, img in enumerate(scene.images):
+        if i in trilinear_images:
+            levels = _build_mip_pyramid(img.data)
+        else:
+            levels = [img.data.astype(F)]
+        img_first_level[i] = len(level_offset)
+        img_n_levels[i] = len(levels)
+        for lv in levels:
+            h, w = lv.shape[:2]
+            level_offset.append(offset)
+            level_w.append(w)
+            level_h.append(h)
+            texels.append(lv.reshape(-1, 4))
+            offset += h * w
+    img_texels = (
+        np.concatenate(texels, axis=0).astype(F)
+        if texels
+        else np.zeros((1, 4), F)
+    )
+    img_level_offset = np.asarray(level_offset or [0], np.int32)
+    img_level_w = np.asarray(level_w or [1], np.int32)
+    img_level_h = np.asarray(level_h or [1], np.int32)
+
+    # ---------------- textures
+    n_tex = max(1, len(scene.textures))
+    tex_kind = np.full(n_tex, TEX_CONSTANT, np.int32)
+    tex_v0 = np.zeros((n_tex, 4), F)
+    tex_v1 = np.zeros((n_tex, 4), F)
+    tex_ref = np.full((n_tex, 3), -1, np.int32)
+    tex_filter = np.zeros(n_tex, np.int32)
+    tex_wrap = np.zeros(n_tex, np.int32)
+    for i, t in enumerate(scene.textures):
+        if isinstance(t, ImageTexture):
+            tex_kind[i] = TEX_IMAGE
+            tex_ref[i, 0] = t.image
+            tex_filter[i] = int(t.sampler.filter)
+            tex_wrap[i] = int(t.sampler.wrap)
+        elif isinstance(t, ConstantTexture):
+            tex_kind[i] = TEX_CONSTANT
+            tex_v0[i] = t.value
+        elif isinstance(t, CheckerTexture):
+            tex_kind[i] = TEX_CHECKER
+            tex_v0[i] = t.color1
+            tex_v1[i] = t.color2
+        elif isinstance(t, ScaleTexture):
+            tex_kind[i] = TEX_SCALE
+            tex_ref[i, 0] = t.a
+            tex_ref[i, 1] = t.b
+        elif isinstance(t, MixTexture):
+            tex_kind[i] = TEX_MIX
+            tex_ref[i, 0] = t.a
+            tex_ref[i, 1] = t.b
+            tex_ref[i, 2] = t.c
+        else:
+            raise TypeError(f"unknown texture: {t}")
+
+    # ---------------- lights
+    n_lights = len(scene.lights)
+    l_pad = max(1, n_lights)
+    light_kind = np.zeros(l_pad, np.int32)
+    light_va = np.zeros((l_pad, 3), F)
+    light_vb = np.zeros((l_pad, 3), F)
+    light_emit_first = np.zeros(l_pad, np.int32)
+    light_emit_count = np.zeros(l_pad, np.int32)
+    em_p0, em_p1, em_p2 = [], [], []
+    em_n0, em_n1, em_n2 = [], [], []
+    em_area, em_has_n = [], []
+    light_kinds = []
+    em_offset = 0
+    for i, light in enumerate(scene.lights):
+        if isinstance(light, PointLight):
+            light_kind[i] = LIGHT_POINT
+            light_va[i] = light.position
+            light_vb[i] = light.intensity
+        elif isinstance(light, DirectionLight):
+            light_kind[i] = LIGHT_DIRECTION
+            light_va[i] = light.direction
+            light_vb[i] = light.radiance
+        elif isinstance(light, DiffuseAreaLight):
+            light_kind[i] = LIGHT_AREA
+            light_vb[i] = light.radiance
+            prim = scene.get_basic(light.prim_id)
+            assert isinstance(prim.shape, TriangleMesh), (
+                "area lights on analytic spheres are unsupported "
+                "(reference: lights.rs:55 todo!())"
+            )
+            mesh = prim.shape.mesh
+            m = np.asarray(light.light_to_world, F)
+            verts_w = mesh.vertices @ m[:3, :3].T + m[:3, 3]
+            tri = mesh.tris.astype(np.int64)
+            p0, p1, p2 = verts_w[tri[:, 0]], verts_w[tri[:, 1]], verts_w[tri[:, 2]]
+            em_p0.append(p0)
+            em_p1.append(p1)
+            em_p2.append(p2)
+            if mesh.has_normals:
+                nm = np.linalg.inv(np.asarray(m, np.float64))[:3, :3].T.astype(F)
+                norms = mesh.normals @ nm.T
+                em_n0.append(norms[tri[:, 0]])
+                em_n1.append(norms[tri[:, 1]])
+                em_n2.append(norms[tri[:, 2]])
+                em_has_n.append(np.ones(len(tri), bool))
+            else:
+                z = np.zeros((len(tri), 3), F)
+                em_n0.append(z)
+                em_n1.append(z)
+                em_n2.append(z)
+                em_has_n.append(np.zeros(len(tri), bool))
+            em_area.append(
+                0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+            )
+            light_emit_first[i] = em_offset
+            light_emit_count[i] = len(tri)
+            em_offset += len(tri)
+        else:
+            raise TypeError(f"unknown light: {light}")
+        light_kinds.append(int(light_kind[i]))
+
+    em_p0 = cat(em_p0, (3,))
+    em_p1 = cat(em_p1, (3,))
+    em_p2 = cat(em_p2, (3,))
+    em_n0 = cat(em_n0, (3,))
+    em_n1 = cat(em_n1, (3,))
+    em_n2 = cat(em_n2, (3,))
+    em_area = cat(em_area, ())
+    em_has_n = cat(em_has_n, (), bool)
+    if em_p0.shape[0] == 0:
+        em_p0 = em_p1 = em_p2 = np.zeros((1, 3), F)
+        em_n0 = em_n1 = em_n2 = np.zeros((1, 3), F)
+        em_area = np.ones(1, F)
+        em_has_n = np.zeros(1, bool)
+
+    # ---------------- camera
+    cam = scene.camera
+    ct = cam.camera_type
+    if isinstance(ct, Orthographic):
+        cam_kind, aperture, focal = CAM_ORTHOGRAPHIC, 0.0, 0.0
+    elif isinstance(ct, PinholePerspective):
+        cam_kind, aperture, focal = CAM_PINHOLE, 0.0, 0.0
+    else:
+        assert isinstance(ct, ThinLensPerspective)
+        cam_kind = CAM_THIN_LENS
+        aperture, focal = ct.aperture_radius, ct.focal_distance
+    cam_min_diff = _minimum_differentials(cam)
+
+    env_tex = -1
+    has_env = scene.environment_light is not None
+    if has_env:
+        env_tex = int(scene.environment_light.radiance)
+
+    meta = SceneMeta(
+        n_tris=n_tris,
+        n_spheres=n_spheres,
+        n_lights=n_lights,
+        n_materials=len(scene.materials),
+        n_textures=len(scene.textures),
+        light_kinds=tuple(light_kinds),
+        mat_kinds_present=tuple(sorted(kinds_present)),
+        has_env=has_env,
+        env_tex=env_tex,
+        cam_kind=cam_kind,
+        width=cam.raster_width,
+        height=cam.raster_height,
+        near_clip=float(cam.near_clip),
+        far_clip=float(cam.far_clip),
+        aperture_radius=float(aperture),
+        focal_distance=float(focal),
+    )
+
+    dev = lambda a: jnp.asarray(a)  # noqa: E731
+    return DeviceScene(
+        tri_p0=dev(tri_p0), tri_p1=dev(tri_p1), tri_p2=dev(tri_p2),
+        tri_n0=dev(tri_n0), tri_n1=dev(tri_n1), tri_n2=dev(tri_n2),
+        tri_uv0=dev(tri_uv0), tri_uv1=dev(tri_uv1), tri_uv2=dev(tri_uv2),
+        tri_mat=dev(tri_mat), tri_light=dev(tri_light),
+        tri_has_n=dev(tri_has_n), tri_has_uv=dev(tri_has_uv),
+        bvh_min=dev(bvh_min), bvh_max=dev(bvh_max),
+        bvh_first=dev(bvh_first), bvh_count=dev(bvh_count),
+        bvh_skip=dev(bvh_skip),
+        sph_center=dev(sph_center), sph_radius=dev(sph_radius),
+        sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),
+        sph_mat=dev(sph_mat), sph_light=dev(sph_light),
+        mat_kind=dev(mat_kind), mat_tex=dev(mat_tex), mat_remap=dev(mat_remap),
+        tex_kind=dev(tex_kind), tex_v0=dev(tex_v0), tex_v1=dev(tex_v1),
+        tex_ref=dev(tex_ref), tex_filter=dev(tex_filter), tex_wrap=dev(tex_wrap),
+        img_texels=dev(img_texels),
+        img_level_offset=dev(img_level_offset),
+        img_level_w=dev(img_level_w), img_level_h=dev(img_level_h),
+        img_first_level=dev(img_first_level), img_n_levels=dev(img_n_levels),
+        light_kind=dev(light_kind), light_va=dev(light_va), light_vb=dev(light_vb),
+        light_emit_first=dev(light_emit_first),
+        light_emit_count=dev(light_emit_count),
+        em_p0=dev(em_p0), em_p1=dev(em_p1), em_p2=dev(em_p2),
+        em_n0=dev(em_n0), em_n1=dev(em_n1), em_n2=dev(em_n2),
+        em_area=dev(em_area), em_has_n=dev(em_has_n),
+        cam_raster_to_camera=dev(cam.raster_to_camera.forward),
+        cam_camera_to_world=dev(cam.camera_to_world.forward),
+        cam_min_diff=dev(cam_min_diff),
+        bounds_center=dev(bounds_center),
+        bounds_radius=dev(bounds_radius),
+        meta=meta,
+    )
+
+
+def _minimum_differentials(cam) -> np.ndarray:
+    """Minimum per-pixel ray differentials (lib.rs:111-143 semantics).
+
+    Rows: x_origin, y_origin, x_direction, y_direction.
+    """
+    w2r_inv = cam.world_to_raster.inverse
+
+    def inv_point(p):
+        from ..geometry.matrix import apply_point
+
+        return apply_point(w2r_inv, p)
+
+    out = np.zeros((4, 3), F)
+    if isinstance(cam.camera_type, Orthographic):
+        origin = inv_point([0.0, 0.0, 0.0])
+        dx = inv_point([1.0, 0.0, 0.0])
+        dy = inv_point([0.0, 1.0, 0.0])
+        out[0] = dx - origin
+        out[1] = dy - origin
+    else:
+        cx, cy = cam.raster_width / 2.0, cam.raster_height / 2.0
+        center = inv_point([cx, cy, 0.0])
+        dx = inv_point([cx + 1.0, cy, 0.0])
+        dy = inv_point([cx, cy + 1.0, 0.0])
+        out[2] = dx - center
+        out[3] = dy - center
+    return out

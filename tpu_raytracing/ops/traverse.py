@@ -1,0 +1,266 @@
+"""Batched scene intersection: stackless skip-link BVH traversal (device).
+
+TPU-native replacement for the reference's per-ray DFS stack traversal
+(raytracing-cpu/src/accel.rs:65-259) and OptiX hardware traversal: the whole
+ray batch advances one BVH node per iteration of a masked while_loop; each
+lane keeps only a node pointer (see accel/bvh.py for the skip-link layout).
+Leaves intersect up to MAX_LEAF_SIZE triangles vectorized across the batch.
+Analytic spheres are brute-forced in object space before traversal so their
+t tightens BVH pruning.
+
+Winning primitive encoding: prim < n_tris -> triangle index (BVH order);
+prim >= n_tris -> sphere index (prim - n_tris); prim < 0 -> miss.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.bvh import MAX_LEAF_SIZE
+from ..device.scene_buffers import DeviceScene
+from .intersect import ray_aabb, ray_sphere, ray_triangle, sphere_hit_geom
+from .linalg import (
+    apply_point, apply_vector, apply_vector_transposed, cross, dot, normalize,
+)
+
+INF = jnp.inf
+
+
+class Hit(NamedTuple):
+    """SoA hit records (counterpart of accel.rs HitInfo)."""
+
+    hit: jax.Array       # (B,) bool
+    t: jax.Array         # (B,) f32
+    prim: jax.Array      # (B,) i32 encoded winner
+    uv: jax.Array        # (B, 2)
+    point: jax.Array     # (B, 3) world
+    normal: jax.Array    # (B, 3) world, unit
+    dpdu: jax.Array      # (B, 3)
+    dpdv: jax.Array      # (B, 3)
+    material: jax.Array  # (B,) i32
+    light: jax.Array     # (B,) i32 (-1 = not an emitter)
+
+
+def _intersect_spheres(ds: DeviceScene, origin, direction, t_min, t_max):
+    """Brute-force all spheres in object space. Returns (t, sphere_idx)."""
+    S = ds.sph_center.shape[0]
+    # (B, S, 3): transform rays into each sphere's object space
+    o_o = apply_point(ds.sph_w2o[None, :], origin[:, None, :])
+    d_o = apply_vector(ds.sph_w2o[None, :], direction[:, None, :])
+    valid, t = ray_sphere(
+        o_o, d_o, ds.sph_center[None, :], ds.sph_radius[None, :],
+        t_min[:, None], t_max[:, None],
+    )
+    # padded entries have radius 0 -> c = |omc|^2 > 0 unless ray at origin;
+    # mask them explicitly anyway
+    real = (
+        jnp.arange(S, dtype=jnp.int32)[None, :] < ds.meta.n_spheres
+    )
+    t = jnp.where(valid & real, t, INF)
+    best = jnp.argmin(t, axis=1).astype(jnp.int32)
+    t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+    return t_best, best
+
+
+def intersect_scene(
+    ds: DeviceScene,
+    origin: jax.Array,     # (B, 3)
+    direction: jax.Array,  # (B, 3)
+    t_min: jax.Array,      # (B,)
+    t_max: jax.Array,      # (B,)
+    early_exit: bool = False,
+    active: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Closest-hit (or any-hit) query. Returns (t, encoded prim or -1)."""
+    B = origin.shape[0]
+    n_tris = ds.meta.n_tris
+    t_best = jnp.broadcast_to(t_max, (B,)).astype(jnp.float32)
+    best = jnp.full((B,), -1, jnp.int32)
+
+    if active is None:
+        active = jnp.ones((B,), bool)
+
+    if ds.meta.n_spheres:
+        st, sidx = _intersect_spheres(ds, origin, direction, t_min, t_best)
+        sph_hit = jnp.isfinite(st) & active
+        t_best = jnp.where(sph_hit, st, t_best)
+        best = jnp.where(sph_hit, n_tris + sidx, best)
+
+    if n_tris == 0:
+        t = jnp.where(best >= 0, t_best, INF)
+        return t, best
+
+    n_nodes = ds.bvh_skip.shape[0]
+    # sentinel: traversal ends when the node pointer reaches the unpadded node
+    # count; every skip[] chain terminates there.
+    sentinel = jnp.max(ds.bvh_skip)
+
+    inv_dir = 1.0 / direction  # inf on zero components, like the reference
+
+    def cond(state):
+        node, _, _ = state
+        return jnp.any(node < sentinel)
+
+    def body(state):
+        node, t_best, best = state
+        live = node < sentinel
+        nidx = jnp.minimum(node, n_nodes - 1)
+        bmin = ds.bvh_min[nidx]
+        bmax = ds.bvh_max[nidx]
+        t0, t1 = ray_aabb(origin, inv_dir, bmin, bmax)
+        box_hit = (t0 <= t1) & (t1 >= t_min) & (t0 <= t_best) & live
+        count = ds.bvh_count[nidx]
+        first = ds.bvh_first[nidx]
+        is_leaf = count > 0
+
+        # --- leaf: intersect up to MAX_LEAF_SIZE triangles
+        do_leaf = box_hit & is_leaf
+        offs = jnp.arange(MAX_LEAF_SIZE, dtype=jnp.int32)
+        tid = jnp.minimum(first[:, None] + offs[None, :], n_tris - 1)
+        lane_ok = do_leaf[:, None] & (offs[None, :] < count[:, None])
+        p0 = ds.tri_p0[tid]
+        p1 = ds.tri_p1[tid]
+        p2 = ds.tri_p2[tid]
+        valid, t, _, _ = ray_triangle(
+            origin[:, None, :], direction[:, None, :], p0, p1, p2,
+            t_min[:, None], t_best[:, None],
+        )
+        t = jnp.where(valid & lane_ok, t, INF)
+        k = jnp.argmin(t, axis=1)
+        t_leaf = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
+        leaf_hit = jnp.isfinite(t_leaf)
+        t_best = jnp.where(leaf_hit, t_leaf, t_best)
+        best = jnp.where(
+            leaf_hit, first + k.astype(jnp.int32), best
+        )
+
+        # --- advance: descend into internal hits, otherwise skip
+        nxt = jnp.where(box_hit & ~is_leaf, node + 1, ds.bvh_skip[nidx])
+        if early_exit:
+            nxt = jnp.where(best >= 0, sentinel, nxt)
+        node = jnp.where(live, nxt, node)
+        return node, t_best, best
+
+    node0 = jnp.where(active, 0, sentinel).astype(ds.bvh_skip.dtype)
+    _, t_best, best = jax.lax.while_loop(cond, body, (node0, t_best, best))
+    t = jnp.where(best >= 0, t_best, INF)
+    return t, best
+
+
+def hit_details(
+    ds: DeviceScene, origin, direction, t, prim
+) -> Hit:
+    """Expand an encoded (t, prim) query result into full shading geometry.
+
+    Triangles are world-space so interpolation happens directly in world
+    coordinates; spheres are recomputed in object space and transformed out
+    (geometry.rs:92-136 semantics).
+    """
+    B = origin.shape[0]
+    n_tris = ds.meta.n_tris
+    hit = prim >= 0
+    is_tri = hit & (prim < n_tris)
+
+    point = origin + t[:, None] * direction
+
+    # -------- triangle path
+    tid = jnp.clip(jnp.where(is_tri, prim, 0), 0, max(n_tris - 1, 0))
+    p0, p1, p2 = ds.tri_p0[tid], ds.tri_p1[tid], ds.tri_p2[tid]
+    # recompute barycentrics for the winning triangle
+    _, _, u, v = ray_triangle(
+        origin, direction, p0, p1, p2,
+        jnp.full_like(t, -INF), jnp.full_like(t, INF),
+    )
+    w = 1.0 - u - v
+    geo_n = normalize(cross(p2 - p0, p1 - p0))
+    sn = (
+        w[:, None] * ds.tri_n0[tid]
+        + u[:, None] * ds.tri_n1[tid]
+        + v[:, None] * ds.tri_n2[tid]
+    )
+    tri_normal = jnp.where(
+        ds.tri_has_n[tid][:, None], normalize(sn), geo_n
+    )
+    default_uv0 = jnp.array([0.0, 0.0], jnp.float32)
+    default_uv1 = jnp.array([1.0, 0.0], jnp.float32)
+    default_uv2 = jnp.array([0.0, 1.0], jnp.float32)
+    has_uv = ds.tri_has_uv[tid][:, None]
+    uv0 = jnp.where(has_uv, ds.tri_uv0[tid], default_uv0)
+    uv1 = jnp.where(has_uv, ds.tri_uv1[tid], default_uv1)
+    uv2 = jnp.where(has_uv, ds.tri_uv2[tid], default_uv2)
+    tri_uv = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
+    # pbrt 4ed eq. 6.7
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    dp02 = p0 - p2
+    dp12 = p1 - p2
+    det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+    degenerate = jnp.abs(det) < 1e-9
+    inv_det = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, det))
+    tri_dpdu = inv_det[:, None] * (
+        duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12
+    )
+    tri_dpdv = inv_det[:, None] * (
+        duv02[:, 0:1] * dp12 - duv12[:, 0:1] * dp02
+    )
+    tri_mat = ds.tri_mat[tid]
+    tri_light = ds.tri_light[tid]
+
+    # -------- sphere path
+    if ds.meta.n_spheres:
+        sid = jnp.clip(jnp.where(is_tri, 0, prim - n_tris), 0, ds.sph_center.shape[0] - 1)
+        w2o = ds.sph_w2o[sid]
+        o2w = ds.sph_o2w[sid]
+        o_o = apply_point(w2o, origin)
+        d_o = apply_vector(w2o, direction)
+        p_o = o_o + t[:, None] * d_o
+        sph_uv, n_o, dpdu_o, dpdv_o = sphere_hit_geom(
+            p_o, ds.sph_center[sid], ds.sph_radius[sid]
+        )
+        sph_point = apply_point(o2w, p_o)
+        sph_normal = normalize(apply_vector_transposed(w2o, n_o))
+        sph_dpdu = apply_vector(o2w, dpdu_o)
+        sph_dpdv = apply_vector(o2w, dpdv_o)
+        sph_mat = ds.sph_mat[sid]
+        sph_light = ds.sph_light[sid]
+
+        sel = is_tri[:, None]
+        uv = jnp.where(sel, tri_uv, sph_uv)
+        point = jnp.where(sel, point, sph_point)
+        normal = jnp.where(sel, tri_normal, sph_normal)
+        dpdu = jnp.where(sel, tri_dpdu, sph_dpdu)
+        dpdv = jnp.where(sel, tri_dpdv, sph_dpdv)
+        material = jnp.where(is_tri, tri_mat, sph_mat)
+        light = jnp.where(is_tri, tri_light, sph_light)
+    else:
+        uv, normal, dpdu, dpdv = tri_uv, tri_normal, tri_dpdu, tri_dpdv
+        material, light = tri_mat, tri_light
+
+    zero3 = jnp.zeros((B, 3), jnp.float32)
+    return Hit(
+        hit=hit,
+        t=jnp.where(hit, t, INF),
+        prim=prim,
+        uv=jnp.where(hit[:, None], uv, jnp.zeros((B, 2), jnp.float32)),
+        point=jnp.where(hit[:, None], point, zero3),
+        normal=jnp.where(hit[:, None], normal, zero3),
+        dpdu=jnp.where(hit[:, None], dpdu, zero3),
+        dpdv=jnp.where(hit[:, None], dpdv, zero3),
+        material=jnp.where(hit, material, 0),
+        light=jnp.where(hit, light, -1),
+    )
+
+
+def intersect_closest(ds: DeviceScene, origin, direction, t_min, t_max) -> Hit:
+    t, prim = intersect_scene(ds, origin, direction, t_min, t_max)
+    return hit_details(ds, origin, direction, t, prim)
+
+
+def occluded(ds: DeviceScene, origin, direction, t_min, t_max, active=None):
+    """Any-hit query for shadow rays (accel.rs early_exit semantics)."""
+    _, prim = intersect_scene(
+        ds, origin, direction, t_min, t_max, early_exit=True, active=active
+    )
+    return prim >= 0
