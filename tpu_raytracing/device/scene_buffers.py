@@ -76,6 +76,8 @@ class SceneMeta:
     n_textures: int
     light_kinds: Tuple[int, ...]
     mat_kinds_present: Tuple[int, ...]
+    tex_kinds_present: Tuple[int, ...]
+    any_trilinear: bool
     has_env: bool
     env_tex: int
     # camera
@@ -579,6 +581,8 @@ def compile_scene(scene: Scene) -> DeviceScene:
         n_textures=len(scene.textures),
         light_kinds=tuple(light_kinds),
         mat_kinds_present=tuple(sorted(kinds_present)),
+        tex_kinds_present=tuple(sorted({int(k) for k in tex_kind})),
+        any_trilinear=bool(trilinear_images),
         has_env=has_env,
         env_tex=env_tex,
         cam_kind=cam_kind,

@@ -1,0 +1,432 @@
+"""The path-tracing integrator: batched bounce loop + render driver.
+
+TPU-native restructuring of the reference's per-pixel recursive integrator
+(raytracing-cpu/src/lib.rs:247-393, §3.2 of SURVEY.md) and its OptiX
+megakernel twin (kernels/pathtracer.cu:34-99): the whole ray batch advances
+one bounce per masked while_loop iteration, with SoA path state
+{origin, direction, radiance, path_weight, specular, alive, RNG stream}
+in device arrays instead of payload registers. Semantics preserved:
+
+- primary rays respect near/far clip, secondary use t_min = 1e-4
+- misses add environment radiance and terminate
+- directly-hit emitters contribute only after specular bounces
+  (and only when accumulate_bounces gates allow)
+- NEE over every light: light_sample_count samples for area lights, 1 for
+  delta lights, shadow rays from the light toward the point
+- BSDF importance sampling continues the path; no MIS, no russian roulette
+  (parity with the reference's TODO at lib.rs:373)
+
+The driver splits the image into fixed-size pixel chunks (static shapes for
+XLA) and runs the sample loop on device; tiles are just array slices — the
+mutex work queue of the CPU backend becomes data parallelism.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..device import DeviceScene, compile_scene
+from ..ops import bsdf as B
+from ..ops.bsdf_dispatch import bsdf_eval, bsdf_sample
+from ..ops.camera_rays import generate_rays
+from ..ops.light_sampling import (
+    environment_radiance, light_emitted_radiance, sample_light,
+)
+from ..ops.linalg import dot, make_orthonormal_basis
+from ..ops.rng import SamplerConfig, make_stream
+from ..ops.textures import (
+    EvalCtx, eval_ctx_from_differentials, eval_texture, texture_mip_level,
+)
+from ..ops.traverse import hit_details, intersect_scene, occluded
+from ..settings import AovFlags, RaytracerSettings, RenderOutput, SinglePixelOutput
+from ..device.scene_buffers import LIGHT_AREA, LIGHT_DIRECTION, LIGHT_POINT, MAT_COATED_DIFFUSE, MAT_DIFFUSE
+
+log = logging.getLogger("tpu_raytracing")
+
+def _default_chunk() -> int:
+    """Pixels per device dispatch: large batches feed the TPU; the CPU
+    backend degrades badly on very wide dispatches, so keep them modest."""
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "cpu"
+    return 1 << 16 if platform == "tpu" else 1 << 13
+
+
+DEFAULT_CHUNK = None  # resolved lazily per platform
+
+
+class StaticSettings(NamedTuple):
+    """Hashable subset of RaytracerSettings that specializes the kernel."""
+
+    max_ray_depth: int
+    accumulate_bounces: bool
+    light_sample_count: int
+    samples_per_pixel: int
+    antialias_primary_rays: bool
+
+    @staticmethod
+    def from_settings(s: RaytracerSettings) -> "StaticSettings":
+        return StaticSettings(
+            max_ray_depth=int(s.max_ray_depth),
+            accumulate_bounces=bool(s.accumulate_bounces),
+            light_sample_count=int(s.light_sample_count),
+            samples_per_pixel=int(s.samples_per_pixel),
+            antialias_primary_rays=bool(s.antialias_primary_rays),
+        )
+
+
+def _to_local(x, y, n, v):
+    return jnp.stack([dot(v, x), dot(v, y), dot(v, n)], axis=-1)
+
+
+def _to_world(x, y, n, v):
+    return v[..., 0:1] * x + v[..., 1:2] * y + v[..., 2:3] * n
+
+
+def trace_radiance(
+    ds: DeviceScene,
+    cfg: SamplerConfig,
+    st: StaticSettings,
+    px, py,            # (B,) pixel coords
+    sample_idx,        # scalar or (B,)
+):
+    """Estimate radiance for one sample of each pixel (ray_radiance semantics)."""
+    stream = make_stream(px, py, sample_idx)
+    ray_o, ray_d, diff, stream = generate_rays(
+        ds, px, py, cfg, stream, st.samples_per_pixel, jitter=True
+    )
+    B_ = px.shape[0]
+    f32 = ray_o.dtype
+    kinds = ds.meta.mat_kinds_present
+
+    state = dict(
+        depth=jnp.zeros((), jnp.int32),
+        ray_o=ray_o,
+        ray_d=ray_d,
+        alive=jnp.ones(B_, bool),
+        specular=jnp.ones(B_, bool),
+        radiance=jnp.zeros((B_, 3), f32),
+        path_weight=jnp.ones((B_, 3), f32),
+        stream=stream,
+    )
+
+    def cond(s):
+        return jnp.any(s["alive"])
+
+    def body(s):
+        depth = s["depth"]
+        alive = s["alive"]
+        ray_o, ray_d = s["ray_o"], s["ray_d"]
+        radiance, pw = s["radiance"], s["path_weight"]
+        specular = s["specular"]
+        stream = s["stream"]
+
+        primary = depth == 0
+        t_min = jnp.where(primary, ds.meta.near_clip, 1.0e-4)
+        t_max = jnp.where(primary, ds.meta.far_clip, jnp.inf)
+        t, prim = intersect_scene(
+            ds, ray_o, ray_d,
+            jnp.broadcast_to(t_min, (B_,)),
+            jnp.broadcast_to(t_max, (B_,)),
+            active=alive,
+        )
+        hit_mask = prim >= 0
+        miss = alive & ~hit_mask
+        if ds.meta.has_env:
+            radiance = radiance + jnp.where(
+                miss[:, None], pw * environment_radiance(ds, ray_d), 0.0
+            )
+        alive = alive & hit_mask
+
+        hit = hit_details(ds, ray_o, ray_d, t, prim)
+
+        add_zero_bounce = st.accumulate_bounces | (st.max_ray_depth == depth)
+        emit_mask = alive & specular & add_zero_bounce & (hit.light >= 0)
+        radiance = radiance + jnp.where(
+            emit_mask[:, None], pw * light_emitted_radiance(ds, hit.light), 0.0
+        )
+
+        # material evaluation context (antialiased on primary hits)
+        plain_ctx = EvalCtx.without_antialiasing(hit.uv)
+        if st.antialias_primary_rays:
+            aa_ctx = eval_ctx_from_differentials(hit, ray_o, ray_d, diff)
+            use_aa = primary & alive
+
+            def sel(a, b):
+                return jnp.where(use_aa, a, b)
+
+            ctx = EvalCtx(
+                uv=hit.uv,
+                dudx=sel(aa_ctx.dudx, plain_ctx.dudx),
+                dudy=sel(aa_ctx.dudy, plain_ctx.dudy),
+                dvdx=sel(aa_ctx.dvdx, plain_ctx.dvdx),
+                dvdy=sel(aa_ctx.dvdy, plain_ctx.dvdy),
+            )
+        else:
+            ctx = plain_ctx
+
+        from ..ops.bsdf import get_bsdf_params, is_delta_bsdf
+
+        params = get_bsdf_params(ds, hit.material, ctx)
+        bx, by = make_orthonormal_basis(hit.normal)
+        wo = _to_local(bx, by, hit.normal, -ray_d)
+
+        depth = depth + 1
+        alive = alive & (depth <= st.max_ray_depth)
+
+        delta = is_delta_bsdf(params)
+        add_direct = st.accumulate_bounces | (depth == st.max_ray_depth)
+        nee_mask = alive & ~delta & add_direct
+
+        direct = jnp.zeros((B_, 3), f32)
+        for li, lk in enumerate(ds.meta.light_kinds):
+            n_s = 1 if lk in (LIGHT_POINT, LIGHT_DIRECTION) else st.light_sample_count
+            contrib = jnp.zeros((B_, 3), f32)
+            for _ in range(n_s):
+                ls, stream = sample_light(ds, li, hit.point, cfg, stream)
+                occ = occluded(
+                    ds, ls.origin, ls.direction,
+                    jnp.full(B_, 1.0e-3, f32),
+                    ls.distance - 1.0e-3,
+                    active=nee_mask,
+                )
+                wi = _to_local(bx, by, hit.normal, -ls.direction)
+                f = bsdf_eval(params, wo, wi, kinds)
+                cos_theta = jnp.maximum(wi[..., 2], 0.0)
+                safe_pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
+                c = f * ls.radiance * (cos_theta / safe_pdf)[:, None]
+                good = nee_mask & ~occ & (ls.pdf > 0.0)
+                contrib = contrib + jnp.where(good[:, None], c, 0.0)
+            direct = direct + contrib / n_s
+        radiance = radiance + pw * direct
+
+        # continuation via BSDF importance sampling
+        samp, stream = bsdf_sample(
+            params, wo, jnp.full(B_, B.ALL_COMPONENTS, jnp.int32),
+            cfg, stream, kinds,
+        )
+        ok = (
+            samp.valid
+            & (samp.pdf > 0.0)
+            & jnp.any(samp.f != 0.0, axis=-1)
+        )
+        alive = alive & ok
+        cos_theta = jnp.abs(samp.wi[..., 2])
+        safe_pdf = jnp.where(samp.pdf == 0.0, 1.0, samp.pdf)
+        pw = jnp.where(
+            alive[:, None], pw * samp.f * (cos_theta / safe_pdf)[:, None], pw
+        )
+        specular = jnp.where(alive, (samp.component & B.SPECULAR) != 0, specular)
+        new_d = _to_world(bx, by, hit.normal, samp.wi)
+        ray_o = jnp.where(alive[:, None], hit.point, ray_o)
+        ray_d = jnp.where(alive[:, None], new_d, ray_d)
+
+        return dict(
+            depth=depth,
+            ray_o=ray_o,
+            ray_d=ray_d,
+            alive=alive,
+            specular=specular,
+            radiance=radiance,
+            path_weight=pw,
+            stream=stream,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["radiance"]
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def render_beauty_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py):
+    """Average trace_radiance over spp for one pixel chunk."""
+
+    def body(s, acc):
+        return acc + trace_radiance(ds, cfg, st, px, py, s)
+
+    total = jax.lax.fori_loop(
+        0, st.samples_per_pixel, body,
+        jnp.zeros((px.shape[0], 3), jnp.float32),
+    )
+    return total / st.samples_per_pixel
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def render_aov_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py):
+    """First-hit AOVs: normals, albedo, uv, mip level (lib.rs:403-444)."""
+    stream = make_stream(px, py, 0)
+    ray_o, ray_d, diff, stream = generate_rays(
+        ds, px, py, cfg, stream, st.samples_per_pixel, jitter=False
+    )
+    B_ = px.shape[0]
+    t, prim = intersect_scene(
+        ds, ray_o, ray_d,
+        jnp.full(B_, ds.meta.near_clip, jnp.float32),
+        jnp.full(B_, ds.meta.far_clip, jnp.float32),
+    )
+    hit = hit_details(ds, ray_o, ray_d, t, prim)
+    ctx = eval_ctx_from_differentials(hit, ray_o, ray_d, diff)
+    ctx = EvalCtx(
+        uv=hit.uv,
+        dudx=jnp.where(hit.hit, ctx.dudx, 0.0),
+        dudy=jnp.where(hit.hit, ctx.dudy, 0.0),
+        dvdx=jnp.where(hit.hit, ctx.dvdx, 0.0),
+        dvdy=jnp.where(hit.hit, ctx.dvdy, 0.0),
+    )
+
+    # albedo: diffuse/coated sample their albedo texture, others are white
+    # (materials.rs get_albedo)
+    mat = jnp.maximum(hit.material, 0)
+    kind = ds.mat_kind[mat]
+    albedo_tex = ds.mat_tex[mat, 0]
+    sampled = eval_texture(ds, albedo_tex, ctx)[:, :3]
+    has_albedo = (kind == MAT_DIFFUSE) | (kind == MAT_COATED_DIFFUSE)
+    albedo = jnp.where(has_albedo[:, None], sampled, 1.0)
+    albedo = jnp.where(hit.hit[:, None], albedo, 0.0)
+
+    # mip level: the material's primary texture when it is a trilinear image
+    # (materials.rs get_mip_level: only Diffuse has a primary texture)
+    mip_tid = jnp.where(kind == MAT_DIFFUSE, albedo_tex, -1)
+    mip, mip_valid = texture_mip_level(ds, mip_tid, ctx)
+    mip = jnp.where(hit.hit & mip_valid & (kind == MAT_DIFFUSE), mip, 0.0)
+
+    normals = jnp.where(hit.hit[:, None], hit.normal, 0.0)
+    uv = jnp.where(hit.hit[:, None], hit.uv, 0.0)
+    return normals, albedo, uv, mip
+
+
+def _pixel_grid(width: int, height: int):
+    xs = np.arange(width, dtype=np.uint32)
+    ys = np.arange(height, dtype=np.uint32)
+    px, py = np.meshgrid(xs, ys)
+    return px.reshape(-1), py.reshape(-1)
+
+
+def _run_chunked(fn, px, py, n_outputs, chunk=None):
+    """Dispatch fn over fixed-size pixel chunks (padded; static shapes)."""
+    if chunk is None:
+        chunk = _default_chunk()
+    n = px.shape[0]
+    chunk = min(chunk, n)
+    outs = None
+    for start in range(0, n, chunk):
+        cpx = px[start:start + chunk]
+        cpy = py[start:start + chunk]
+        if cpx.shape[0] < chunk:
+            pad = chunk - cpx.shape[0]
+            cpx = np.concatenate([cpx, np.zeros(pad, cpx.dtype)])
+            cpy = np.concatenate([cpy, np.zeros(pad, cpy.dtype)])
+        res = fn(jnp.asarray(cpx), jnp.asarray(cpy))
+        if not isinstance(res, tuple):
+            res = (res,)
+        res = [np.asarray(r)[: min(chunk, n - start)] for r in res]
+        if outs is None:
+            outs = [[r] for r in res]
+        else:
+            for o, r in zip(outs, res):
+                o.append(r)
+    return [np.concatenate(o, axis=0) for o in outs]
+
+
+def render(
+    scene_or_device,
+    settings: RaytracerSettings,
+    chunk_pixels: int | None = None,
+) -> RenderOutput:
+    """Full-frame render (counterpart of raytracing_cpu::render, lib.rs:645)."""
+    if isinstance(scene_or_device, DeviceScene):
+        ds = scene_or_device
+    else:
+        t0 = time.perf_counter()
+        ds = compile_scene(scene_or_device)
+        log.info("scene compile took %.3fs", time.perf_counter() - t0)
+
+    cfg = SamplerConfig.from_settings(settings.sampler, settings.seed)
+    st = StaticSettings.from_settings(settings)
+    width, height = ds.meta.width, ds.meta.height
+    px, py = _pixel_grid(width, height)
+    out = RenderOutput(width=width, height=height)
+
+    if settings.outputs & AovFlags.FIRST_HIT_AOVS:
+        t0 = time.perf_counter()
+        normals, albedo, uv, mip = _run_chunked(
+            lambda a, b: render_aov_chunk(ds, cfg, st, a, b),
+            px, py, 4, chunk_pixels,
+        )
+        log.info("aov pass took %.3fs", time.perf_counter() - t0)
+        if settings.outputs & AovFlags.NORMALS:
+            out.normals = normals.reshape(height, width, 3)
+        if settings.outputs & AovFlags.ALBEDO:
+            out.albedo = albedo.reshape(height, width, 3)
+        if settings.outputs & AovFlags.UV_COORDS:
+            out.uv = uv.reshape(height, width, 2)
+        if settings.outputs & AovFlags.MIP_LEVEL:
+            out.mip_level = mip.reshape(height, width)
+
+    if settings.outputs & AovFlags.BEAUTY:
+        t0 = time.perf_counter()
+        (beauty,) = _run_chunked(
+            lambda a, b: render_beauty_chunk(ds, cfg, st, a, b),
+            px, py, 1, chunk_pixels,
+        )
+        log.info("beauty pass took %.3fs", time.perf_counter() - t0)
+        beauty = beauty.reshape(height, width, 3)
+        # NaN/Inf scan (lib.rs:815-854)
+        bad = ~np.isfinite(beauty)
+        if bad.any():
+            ys, xs = np.nonzero(bad.any(axis=-1))
+            log.warning(
+                "%d non-finite radiance pixels (first at x=%d y=%d)",
+                len(ys), xs[0], ys[0],
+            )
+        out.beauty = beauty
+
+    return out
+
+
+def render_single_pixel(
+    scene, settings: RaytracerSettings, x: int, y: int,
+    sample_count: int = 1, sample_offset: int = 0,
+) -> list:
+    """Replay the exact sampler streams of one pixel
+    (counterpart of render_single_pixel, lib.rs:860-932)."""
+    ds = compile_scene(scene)
+    cfg = SamplerConfig.from_settings(settings.sampler, settings.seed)
+    st = StaticSettings.from_settings(settings)
+    x = min(max(x, 0), ds.meta.width - 1)
+    y = min(max(y, 0), ds.meta.height - 1)
+    px = jnp.asarray([x], jnp.uint32)
+    py = jnp.asarray([y], jnp.uint32)
+    outputs = []
+    for s in range(sample_offset, sample_offset + sample_count):
+        radiance = np.asarray(
+            trace_radiance(ds, cfg, st, px, py, jnp.uint32(s))
+        )[0]
+        # first-hit data for the debug record
+        stream = make_stream(px, py, jnp.uint32(s))
+        ray_o, ray_d, _, stream = generate_rays(
+            ds, px, py, cfg, stream, st.samples_per_pixel, jitter=True
+        )
+        t, prim = intersect_scene(
+            ds, ray_o, ray_d,
+            jnp.full(1, ds.meta.near_clip, jnp.float32),
+            jnp.full(1, ds.meta.far_clip, jnp.float32),
+        )
+        hit = hit_details(ds, ray_o, ray_d, t, prim)
+        outputs.append(
+            SinglePixelOutput(
+                sample_index=s,
+                hit=bool(hit.hit[0]),
+                uv=np.asarray(hit.uv[0]),
+                normal=np.asarray(hit.normal[0]),
+                radiance=radiance,
+            )
+        )
+    return outputs

@@ -96,5 +96,5 @@ def sphere_hit_geom(point, center, radius):
         ],
         axis=-1,
     )
-    normal = local / radius
+    normal = local / jnp.asarray(radius)[..., None]
     return jnp.stack([u, v], axis=-1), normal, dpdu, dpdv

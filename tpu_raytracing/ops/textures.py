@@ -1,0 +1,250 @@
+"""Device texture evaluation over the flattened texture tables.
+
+TPU-native counterpart of the CPU texture sampler
+(raytracing-cpu/src/texture.rs) and the GPU one-level-of-indirection scheme
+(csrc/kernels/texture.hpp:86-95): Scale/Mix textures reference *leaf*
+textures, so evaluation is two fixed passes instead of recursion. Image
+sampling is gather-based over the flat mip atlas (no hardware samplers on
+TPU): wrap math from texture.rs:44-69, point/bilinear taps from
+texture.rs:235-272, trilinear = lerp of two bilinear mip taps with the mip
+level chosen from uv-footprint derivatives (texture.rs:274-356). Checker
+textures use the reference's erf-based analytic antialiasing
+(texture.rs:376-434).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..device.scene_buffers import (
+    DeviceScene, TEX_CHECKER, TEX_CONSTANT, TEX_IMAGE, TEX_MIX, TEX_SCALE,
+)
+from ..materials import FilterMode, WrapMode
+
+
+class EvalCtx(NamedTuple):
+    """uv + screen-space uv derivatives (materials.rs MaterialEvalContext)."""
+
+    uv: jax.Array     # (B, 2)
+    dudx: jax.Array   # (B,)
+    dudy: jax.Array
+    dvdx: jax.Array
+    dvdy: jax.Array
+
+    @staticmethod
+    def without_antialiasing(uv) -> "EvalCtx":
+        z = jnp.zeros(uv.shape[:-1], uv.dtype)
+        return EvalCtx(uv=uv, dudx=z, dudy=z, dvdx=z, dvdy=z)
+
+
+def eval_ctx_from_differentials(hit, ray_o, ray_d, diff) -> EvalCtx:
+    """Chain-rule + least-squares duv/dxy from world-space ray differentials
+    (materials.rs:715-809). diff: (B, 4, 3) rows x_o, y_o, x_d, y_d."""
+    n, p = hit.normal, hit.point
+    rx_o = ray_o + diff[:, 0]
+    ry_o = ray_o + diff[:, 1]
+    rx_d = ray_d + diff[:, 2]
+    ry_d = ray_d + diff[:, 3]
+
+    def dot(a, b):
+        return jnp.sum(a * b, axis=-1)
+
+    d = -dot(n, p)
+    tx = -(dot(n, rx_o) + d) / dot(n, rx_d)
+    ty = -(dot(n, ry_o) + d) / dot(n, ry_d)
+    px = rx_o + tx[:, None] * rx_d
+    py = ry_o + ty[:, None] * ry_d
+    dpdx = px - p
+    dpdy = py - p
+
+    dpdu, dpdv = hit.dpdu, hit.dpdv
+    ata00 = dot(dpdu, dpdu)
+    ata11 = dot(dpdv, dpdv)
+    ata01 = dot(dpdu, dpdv)
+    det = ata00 * ata11 - ata01 * ata01
+    inv_det = 1.0 / det
+    atb0x = dot(dpdu, dpdx)
+    atb1x = dot(dpdv, dpdx)
+    atb0y = dot(dpdu, dpdy)
+    atb1y = dot(dpdv, dpdy)
+
+    def clamp(v):
+        v = jnp.where(jnp.isfinite(v), v, 0.0)
+        return jnp.clip(v, -1.0e8, 1.0e8)
+
+    return EvalCtx(
+        uv=hit.uv,
+        dudx=clamp(inv_det * (ata11 * atb0x - ata01 * atb1x)),
+        dvdx=clamp(inv_det * (ata00 * atb1x - ata01 * atb0x)),
+        dudy=clamp(inv_det * (ata11 * atb0y - ata01 * atb1y)),
+        dvdy=clamp(inv_det * (ata00 * atb1y - ata01 * atb0y)),
+    )
+
+
+def _apply_wrap(wrap_kind, x):
+    frac = x - jnp.floor(x)
+    repeat = frac  # jnp floor-based frac is already in [0,1)
+    mirrored = jnp.where(
+        jnp.mod(jnp.floor(x).astype(jnp.int32), 2) == 1, 1.0 - repeat, repeat
+    )
+    clamped = jnp.clip(x, 0.0, 1.0)
+    out = jnp.where(wrap_kind == int(WrapMode.MIRROR), mirrored, repeat)
+    return jnp.where(wrap_kind == int(WrapMode.CLAMP), clamped, out)
+
+
+def _fetch_texel(ds: DeviceScene, level, x, y):
+    """Gather a texel from the mip atlas; x/y already clamped in range."""
+    w = ds.img_level_w[level]
+    addr = ds.img_level_offset[level] + y * w + x
+    return ds.img_texels[addr]
+
+
+def _bilerp(ds: DeviceScene, level, u, v):
+    w = ds.img_level_w[level].astype(jnp.float32)
+    h = ds.img_level_h[level].astype(jnp.float32)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.clip(jnp.floor(x), 0.0, w - 1.0).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(x), 0.0, w - 1.0).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0.0, h - 1.0).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(y), 0.0, h - 1.0).astype(jnp.int32)
+    xf = jnp.clip(x - jnp.floor(x), 0.0, 1.0)[:, None]
+    yf = jnp.clip(y - jnp.floor(y), 0.0, 1.0)[:, None]
+    p00 = _fetch_texel(ds, level, x0, y0)
+    p01 = _fetch_texel(ds, level, x1, y0)
+    p10 = _fetch_texel(ds, level, x0, y1)
+    p11 = _fetch_texel(ds, level, x1, y1)
+    u0 = p00 * (1.0 - xf) + p01 * xf
+    u1 = p10 * (1.0 - xf) + p11 * xf
+    return u0 * (1.0 - yf) + u1 * yf
+
+
+def _point_sample(ds: DeviceScene, level, u, v):
+    w = ds.img_level_w[level].astype(jnp.float32)
+    h = ds.img_level_h[level].astype(jnp.float32)
+    x = jnp.clip(jnp.round(u * w - 0.5), 0.0, w - 1.0).astype(jnp.int32)
+    y = jnp.clip(jnp.round(v * h - 0.5), 0.0, h - 1.0).astype(jnp.int32)
+    return _fetch_texel(ds, level, x, y)
+
+
+def _mip_level_value(ds: DeviceScene, img, ctx: EvalCtx):
+    """Raw (unclamped) mip level from uv footprint (texture.rs:274-298).
+    Returns (level, valid)."""
+    mip0 = ds.img_first_level[img]
+    w0 = ds.img_level_w[mip0].astype(jnp.float32)
+    dx = jnp.sqrt(ctx.dudx**2 + ctx.dvdx**2)
+    dy = jnp.sqrt(ctx.dudy**2 + ctx.dvdy**2)
+    larger = jnp.maximum(dx, dy)
+    valid = larger > 0.0
+    half_pixel = 1.0 / (2.0 * w0)
+    level = jnp.log2(jnp.where(valid, larger, 1.0) / half_pixel)
+    return level, valid
+
+
+def _sample_image(ds: DeviceScene, tid, ctx: EvalCtx):
+    img = jnp.maximum(ds.tex_ref[tid, 0], 0)
+    wrap = ds.tex_wrap[tid]
+    filt = ds.tex_filter[tid]
+    u = _apply_wrap(wrap, ctx.uv[:, 0])
+    v = _apply_wrap(wrap, ctx.uv[:, 1])
+    mip0 = ds.img_first_level[img]
+
+    bilinear = _bilerp(ds, mip0, u, v)
+    nearest = _point_sample(ds, mip0, u, v)
+    out = jnp.where(
+        (filt == int(FilterMode.NEAREST))[:, None], nearest, bilinear
+    )
+    if ds.meta.any_trilinear:
+        level, valid = _mip_level_value(ds, img, ctx)
+        max_level = (ds.img_n_levels[img] - 1).astype(jnp.float32)
+        lower = jnp.floor(jnp.clip(level, 0.0, max_level)).astype(jnp.int32)
+        upper = jnp.ceil(jnp.clip(level, 0.0, max_level)).astype(jnp.int32)
+        t = (level - jnp.floor(level))[:, None]
+        a = _bilerp(ds, mip0 + lower, u, v)
+        b = _bilerp(ds, mip0 + upper, u, v)
+        tri = jnp.where(valid[:, None], (1.0 - t) * a + t * b, bilinear)
+        out = jnp.where((filt == int(FilterMode.TRILINEAR))[:, None], tri, out)
+    return out
+
+
+def _checker(ds: DeviceScene, tid, ctx: EvalCtx):
+    c1 = ds.tex_v0[tid]
+    c2 = ds.tex_v1[tid]
+    u = ctx.uv[:, 0] - jnp.floor(ctx.uv[:, 0])
+    v = ctx.uv[:, 1] - jnp.floor(ctx.uv[:, 1])
+    point_sampled = ((ctx.dudx == 0.0) & (ctx.dvdx == 0.0)) | (
+        (ctx.dudy == 0.0) & (ctx.dvdy == 0.0)
+    )
+    plain = jnp.where(
+        ((u > 0.5) != (v > 0.5))[:, None], c1, c2
+    )
+    # erf-based analytic antialiasing
+    rate_x = jnp.sqrt(ctx.dudx**2 + ctx.dvdx**2)
+    rate_y = jnp.sqrt(ctx.dudy**2 + ctx.dvdy**2)
+    sigma = 0.1 * jnp.maximum(rate_x, rate_y)
+    sigma = jnp.where(sigma == 0.0, 1.0, sigma)
+
+    def fold(x):
+        return jnp.where(
+            x < 0.25, x, jnp.where(x < 0.75, -(x - 0.5), x - 1.0)
+        )
+
+    sqrt2 = jnp.sqrt(jnp.float32(2.0))
+    x_factor = 0.5 * (1.0 + jax.scipy.special.erf(fold(u) / (sqrt2 * sigma)))
+    y_factor = 0.5 * (1.0 + jax.scipy.special.erf(fold(v) / (sqrt2 * sigma)))
+    x_factor = jnp.where(v > 0.5, x_factor, 1.0 - x_factor)
+    y_factor = jnp.where(u > 0.5, y_factor, 1.0 - y_factor)
+    factor = (x_factor * y_factor)[:, None]
+    aa = factor * c1 + (1.0 - factor) * c2
+    return jnp.where(point_sampled[:, None], plain, aa)
+
+
+def _eval_leaf(ds: DeviceScene, tid, ctx: EvalCtx):
+    kinds = ds.meta.tex_kinds_present
+    kind = ds.tex_kind[tid]
+    out = ds.tex_v0[tid]  # constant path covers CONSTANT (and default)
+    if TEX_IMAGE in kinds:
+        out = jnp.where(
+            (kind == TEX_IMAGE)[:, None], _sample_image(ds, tid, ctx), out
+        )
+    if TEX_CHECKER in kinds:
+        out = jnp.where(
+            (kind == TEX_CHECKER)[:, None], _checker(ds, tid, ctx), out
+        )
+    return out
+
+
+def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx):
+    """Evaluate texture ids (B,) at ctx -> (B, 4)."""
+    tid = jnp.maximum(tid, 0)
+    out = _eval_leaf(ds, tid, ctx)
+    kinds = ds.meta.tex_kinds_present
+    if TEX_SCALE in kinds or TEX_MIX in kinds:
+        kind = ds.tex_kind[tid]
+        a = _eval_leaf(ds, jnp.maximum(ds.tex_ref[tid, 0], 0), ctx)
+        b = _eval_leaf(ds, jnp.maximum(ds.tex_ref[tid, 1], 0), ctx)
+        if TEX_SCALE in kinds:
+            out = jnp.where((kind == TEX_SCALE)[:, None], a * b, out)
+        if TEX_MIX in kinds:
+            c = _eval_leaf(ds, jnp.maximum(ds.tex_ref[tid, 2], 0), ctx)
+            out = jnp.where(
+                (kind == TEX_MIX)[:, None], (1.0 - c) * a + c * b, out
+            )
+    return out
+
+
+def texture_mip_level(ds: DeviceScene, tid, ctx: EvalCtx):
+    """Mip level of trilinear image textures; (level, valid) per lane
+    (texture.rs:460-481 semantics: None unless trilinear image texture)."""
+    tid = jnp.maximum(tid, 0)
+    B = tid.shape[0]
+    if TEX_IMAGE not in ds.meta.tex_kinds_present or not ds.meta.any_trilinear:
+        return jnp.zeros(B, jnp.float32), jnp.zeros(B, bool)
+    kind = ds.tex_kind[tid]
+    filt = ds.tex_filter[tid]
+    img = jnp.maximum(ds.tex_ref[tid, 0], 0)
+    level, valid = _mip_level_value(ds, img, ctx)
+    valid = valid & (kind == TEX_IMAGE) & (filt == int(FilterMode.TRILINEAR))
+    return jnp.where(valid, level, 0.0), valid
