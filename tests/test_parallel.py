@@ -1,0 +1,101 @@
+"""Multi-chip sharding: mesh construction, dry run, determinism across shardings.
+
+Mirrors the reference's bit-exactness-across-thread-counts requirement
+(visual-testing/README.md:103): RNG streams are keyed by (pixel, sample),
+so the image must be identical for any tile sharding.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpu_raytracing.device import compile_scene
+from tpu_raytracing.integrator.render import StaticSettings, render_beauty_chunk
+from tpu_raytracing.ops.rng import SamplerConfig
+from tpu_raytracing.parallel import make_render_mesh, make_sharded_step
+from tpu_raytracing.scene.test_scenes import get_test_scene
+
+
+@pytest.fixture(scope="module")
+def scene_setup():
+    ts = get_test_scene("checkered_plane")
+    scene = ts.scene_func()
+    settings = ts.settings_func()
+    settings.samples_per_pixel = 4
+    settings.light_sample_count = 1
+    settings.max_ray_depth = 2
+    ds = compile_scene(scene)
+    cfg = SamplerConfig.from_settings(settings.sampler, settings.seed)
+    st = StaticSettings.from_settings(settings)
+    return ds, cfg, st
+
+
+def _pixels(ds, n):
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, ds.meta.width, n, dtype=np.uint32)
+    py = rng.integers(0, ds.meta.height, n, dtype=np.uint32)
+    return px, py
+
+
+def _run(ds, cfg, st, mesh, px, py):
+    step = make_sharded_step(ds, cfg, st, mesh)
+    sh = NamedSharding(mesh, P("tiles"))
+    px_d = jax.device_put(jnp.asarray(px), sh)
+    py_d = jax.device_put(jnp.asarray(py), sh)
+    radiance, rays = step(px_d, py_d)
+    return np.asarray(radiance), int(rays)
+
+
+def test_tile_sharding_bit_exact(scene_setup):
+    """8-way tile sharding == 1-device reference, bitwise."""
+    ds, cfg, st = scene_setup
+    px, py = _pixels(ds, 256)
+
+    ref, _ = render_beauty_chunk(ds, cfg, st, jnp.asarray(px), jnp.asarray(py))
+    ref = np.asarray(ref)
+
+    mesh8 = make_render_mesh(n_tiles=8, n_spp=1)
+    out8, rays8 = _run(ds, cfg, st, mesh8, px, py)
+    np.testing.assert_array_equal(out8, ref)
+    assert rays8 > 0
+
+    mesh2 = make_render_mesh(n_tiles=2, n_spp=1, devices=jax.devices()[:2])
+    out2, _ = _run(ds, cfg, st, mesh2, px, py)
+    np.testing.assert_array_equal(out2, ref)
+
+
+def test_spp_sharding_close(scene_setup):
+    """spp-sharded psum accumulation matches within fp reassociation noise."""
+    ds, cfg, st = scene_setup
+    px, py = _pixels(ds, 128)
+
+    ref, _ = render_beauty_chunk(ds, cfg, st, jnp.asarray(px), jnp.asarray(py))
+    ref = np.asarray(ref)
+
+    mesh = make_render_mesh(n_tiles=2, n_spp=4)
+    out, _ = _run(ds, cfg, st, mesh, px, py)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_spp_not_divisible_raises(scene_setup):
+    ds, cfg, st = scene_setup
+    mesh = make_render_mesh(n_tiles=2, n_spp=4)
+    bad = st._replace(samples_per_pixel=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_step(ds, cfg, bad, mesh)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

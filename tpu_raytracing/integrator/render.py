@@ -116,6 +116,7 @@ def trace_radiance(
         radiance=jnp.zeros((B_, 3), f32),
         path_weight=jnp.ones((B_, 3), f32),
         stream=stream,
+        rays=jnp.zeros((), jnp.int32),
     )
 
     def cond(s):
@@ -128,6 +129,8 @@ def trace_radiance(
         radiance, pw = s["radiance"], s["path_weight"]
         specular = s["specular"]
         stream = s["stream"]
+
+        rays = s["rays"] + jnp.sum(alive.astype(jnp.int32))
 
         primary = depth == 0
         t_min = jnp.where(primary, ds.meta.near_clip, 1.0e-4)
@@ -190,6 +193,7 @@ def trace_radiance(
         for li, lk in enumerate(ds.meta.light_kinds):
             n_s = 1 if lk in (LIGHT_POINT, LIGHT_DIRECTION) else st.light_sample_count
             contrib = jnp.zeros((B_, 3), f32)
+            rays = rays + n_s * jnp.sum(nee_mask.astype(jnp.int32))
             for _ in range(n_s):
                 ls, stream = sample_light(ds, li, hit.point, cfg, stream)
                 occ = occluded(
@@ -238,24 +242,27 @@ def trace_radiance(
             radiance=radiance,
             path_weight=pw,
             stream=stream,
+            rays=rays,
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["radiance"]
+    return out["radiance"], out["rays"]
 
 
 @partial(jax.jit, static_argnums=(1, 2))
 def render_beauty_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py):
     """Average trace_radiance over spp for one pixel chunk."""
 
-    def body(s, acc):
-        return acc + trace_radiance(ds, cfg, st, px, py, s)
+    def body(s, carry):
+        acc, rays = carry
+        r, n = trace_radiance(ds, cfg, st, px, py, s)
+        return acc + r, rays + n
 
-    total = jax.lax.fori_loop(
+    total, rays = jax.lax.fori_loop(
         0, st.samples_per_pixel, body,
-        jnp.zeros((px.shape[0], 3), jnp.float32),
+        (jnp.zeros((px.shape[0], 3), jnp.float32), jnp.zeros((), jnp.int32)),
     )
-    return total / st.samples_per_pixel
+    return total / st.samples_per_pixel, rays
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -372,11 +379,20 @@ def render(
 
     if settings.outputs & AovFlags.BEAUTY:
         t0 = time.perf_counter()
-        (beauty,) = _run_chunked(
-            lambda a, b: render_beauty_chunk(ds, cfg, st, a, b),
-            px, py, 1, chunk_pixels,
+        n_rays = [0]
+
+        def beauty_fn(a, b):
+            r, n = render_beauty_chunk(ds, cfg, st, a, b)
+            n_rays[0] += int(n)
+            return r
+
+        (beauty,) = _run_chunked(beauty_fn, px, py, 1, chunk_pixels)
+        dt = time.perf_counter() - t0
+        out.rays_traced = n_rays[0]
+        log.info(
+            "beauty pass took %.3fs (%d rays, %.1f Mrays/s)",
+            dt, n_rays[0], n_rays[0] / dt / 1e6,
         )
-        log.info("beauty pass took %.3fs", time.perf_counter() - t0)
         beauty = beauty.reshape(height, width, 3)
         # NaN/Inf scan (lib.rs:815-854)
         bad = ~np.isfinite(beauty)
@@ -407,7 +423,7 @@ def render_single_pixel(
     outputs = []
     for s in range(sample_offset, sample_offset + sample_count):
         radiance = np.asarray(
-            trace_radiance(ds, cfg, st, px, py, jnp.uint32(s))
+            trace_radiance(ds, cfg, st, px, py, jnp.uint32(s))[0]
         )[0]
         # first-hit data for the debug record
         stream = make_stream(px, py, jnp.uint32(s))

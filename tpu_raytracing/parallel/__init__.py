@@ -1,0 +1,4 @@
+"""Multi-chip rendering: device meshes, sharded render steps, distributed driver."""
+from .mesh import (  # noqa: F401
+    dryrun_step, make_render_mesh, make_sharded_step, render_distributed,
+)

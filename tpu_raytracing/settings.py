@@ -50,6 +50,7 @@ class RenderOutput:
     albedo: Optional[np.ndarray] = None     # (H, W, 3) f32
     uv: Optional[np.ndarray] = None         # (H, W, 2) f32
     mip_level: Optional[np.ndarray] = None  # (H, W) f32
+    rays_traced: int = 0                    # beauty-pass ray count (perf)
 
 
 @dataclass
