@@ -1,0 +1,63 @@
+"""EXR image comparison (parity: visual-testing/src/rttest/diff.py).
+
+Loads the channel group present in both images — preference order RGB,
+Normal.XYZ, Albedo.XYZ, UV — and reports MSE plus max absolute difference.
+Pass iff mse <= tolerance; the default tolerance 0.0 demands bit-exact
+output, which deterministic seeded rendering guarantees.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tpu_raytracing.utils.exr import read_exr
+
+CHANNEL_GROUPS = [
+    ("RGB", ["R", "G", "B"]),
+    ("Normal", ["Normal.X", "Normal.Y", "Normal.Z"]),
+    ("Albedo", ["Albedo.X", "Albedo.Y", "Albedo.Z"]),
+    ("UV", ["U", "V"]),
+]
+
+
+def load_exr_channels(path: Path) -> Tuple[str, np.ndarray]:
+    """(group name, (H, W, C) array) for the first available channel group."""
+    channels, width, height = read_exr(path)
+    for group_name, names in CHANNEL_GROUPS:
+        if all(n in channels for n in names):
+            stacked = np.stack([channels[n] for n in names], axis=-1)
+            return group_name, stacked
+    raise ValueError(
+        f"{path}: no known channel group (have {sorted(channels)})"
+    )
+
+
+@dataclass
+class DiffResult:
+    mse: float
+    max_diff: float
+    channel_group: str
+
+    def passes(self, tolerance: float) -> bool:
+        return self.mse <= tolerance
+
+
+def compare_images(output_path: Path, reference_path: Path) -> DiffResult:
+    out_group, out = load_exr_channels(output_path)
+    ref_group, ref = load_exr_channels(reference_path)
+    if out_group != ref_group:
+        raise ValueError(
+            f"channel group mismatch: output has {out_group}, "
+            f"reference has {ref_group}"
+        )
+    if out.shape != ref.shape:
+        raise ValueError(f"shape mismatch: {out.shape} vs {ref.shape}")
+    d = out.astype(np.float64) - ref.astype(np.float64)
+    return DiffResult(
+        mse=float(np.mean(d * d)),
+        max_diff=float(np.max(np.abs(d))) if d.size else 0.0,
+        channel_group=out_group,
+    )
