@@ -35,6 +35,11 @@ def _load_scene():
 def main() -> None:
     import jax
 
+    # persistent compile cache: remote-TPU compiles take minutes; cache
+    # survives across processes/rounds
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     platform = jax.default_backend()
     spp = int(os.environ.get("BENCH_SPP", "64" if platform == "tpu" else "2"))
 

@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
 def _select_platform(backend: str) -> None:
     import jax
 
+    cache = os.environ.get("TPU_RAYTRACING_CACHE_DIR")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     if backend == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
