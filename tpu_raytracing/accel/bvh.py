@@ -56,11 +56,27 @@ def build_bvh(
     prim_min: np.ndarray,
     prim_max: np.ndarray,
     max_leaf_size: int = MAX_LEAF_SIZE,
+    use_native: bool = True,
 ) -> LinearBVH:
-    """Build a BVH over primitive AABBs. Deterministic for fixed input."""
+    """Build a BVH over primitive AABBs. Deterministic for fixed input.
+
+    Prefers the native C++ builder (csrc/bvh_builder.cpp, the Embree-role
+    component); the numpy path below is the bit-identical fallback.
+    """
     prim_min = np.asarray(prim_min, F).reshape(-1, 3)
     prim_max = np.asarray(prim_max, F).reshape(-1, 3)
     n = prim_min.shape[0]
+
+    if use_native and n > 0:
+        from ..native import build_bvh_native
+
+        res = build_bvh_native(prim_min, prim_max, max_leaf_size)
+        if res is not None:
+            nm, nx, lf, ct, sk, po = res
+            return LinearBVH(
+                node_min=nm, node_max=nx, left_first=lf, count=ct,
+                skip=sk, prim_order=po,
+            )
     if n == 0:
         return LinearBVH(
             node_min=np.zeros((1, 3), F),
@@ -92,11 +108,12 @@ def build_bvh(
                 prim_min, prim_max, centroids, order, lo, hi
             )
         if split is None and node_count > max_leaf_size:
-            # fall back to median split on the longest axis
+            # fall back to median split on the longest axis (stable sort so
+            # the layout is reproducible across builder implementations)
             axis = int(np.argmax(bb_max - bb_min))
             c = centroids[ids, axis]
             mid_pos = node_count // 2
-            part = np.argpartition(c, mid_pos)
+            part = np.argsort(c, kind="stable")
             order[lo:hi] = ids[part]
             split = lo + mid_pos
 
