@@ -113,6 +113,11 @@ class DeviceScene:
     bvh_first: jax.Array
     bvh_count: jax.Array
     bvh_skip: jax.Array
+    # packed traversal layouts: one gather per node / per leaf triangle.
+    # bvh_nodes (N, 8) f32 = [min.xyz, max.xyz, bits((first<<3)|count),
+    # bits(skip)]; tri_pack (T, 9) f32 = [p0, p1, p2]
+    bvh_nodes: jax.Array
+    tri_pack: jax.Array
     # spheres (object-space)
     sph_center: jax.Array
     sph_radius: jax.Array
@@ -331,6 +336,18 @@ def compile_scene(scene: Scene) -> DeviceScene:
     bvh_first = _pad_rows(bvh.left_first, nd_pad)
     bvh_count = _pad_rows(bvh.count, nd_pad)
     bvh_skip = _pad_rows(bvh.skip, nd_pad, fill=n_nodes)
+
+    # packed node layout: a single 8-wide gather per traversal step
+    meta1 = (bvh_first.astype(np.int64) << 3) | bvh_count.astype(np.int64)
+    bvh_nodes = np.concatenate(
+        [
+            bvh_min, bvh_max,
+            meta1.astype(np.int32).view(F)[:, None],
+            bvh_skip.view(F)[:, None],
+        ],
+        axis=1,
+    ).astype(F)
+    tri_pack = np.concatenate([tri_p0, tri_p1, tri_p2], axis=1).astype(F)
 
     # ---------------- spheres
     n_spheres = len(sph)
@@ -604,6 +621,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh_min=dev(bvh_min), bvh_max=dev(bvh_max),
         bvh_first=dev(bvh_first), bvh_count=dev(bvh_count),
         bvh_skip=dev(bvh_skip),
+        bvh_nodes=dev(bvh_nodes), tri_pack=dev(tri_pack),
         sph_center=dev(sph_center), sph_radius=dev(sph_radius),
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),
         sph_mat=dev(sph_mat), sph_light=dev(sph_light),

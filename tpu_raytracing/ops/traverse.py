@@ -99,32 +99,62 @@ def intersect_scene(
 
     inv_dir = 1.0 / direction  # inf on zero components, like the reference
 
-    def cond(state):
-        node, _, _ = state
-        return jnp.any(node < sentinel)
+    # while-while traversal (the CUDA-classic restructure, reformulated for a
+    # vector machine): the inner loop advances every lane through internal
+    # nodes — one 8-wide packed gather + slab test per step — until each live
+    # lane parks on a hit leaf; the outer loop then intersects the parked
+    # leaves (one 9-wide gather + Moller-Trumbore per tri slot). Leaf work
+    # runs once per leaf *visit* instead of once per node *step*, which is
+    # the difference between O(nodes) and O(leaves) heavy iterations.
+    # Per-lane node/leaf order is identical to a one-node-per-step walk, so
+    # results are bit-identical.
 
-    def body(state):
-        node, t_best, best = state
-        live = node < sentinel
-        nidx = jnp.minimum(node, n_nodes - 1)
-        bmin = ds.bvh_min[nidx]
-        bmax = ds.bvh_max[nidx]
-        t0, t1 = ray_aabb(origin, inv_dir, bmin, bmax)
-        box_hit = (t0 <= t1) & (t1 >= t_min) & (t0 <= t_best) & live
-        count = ds.bvh_count[nidx]
-        first = ds.bvh_first[nidx]
-        is_leaf = count > 0
+    def find_leaf(node, t_best, best):
+        """Advance lanes to their next hit leaf. Returns (node, first, count);
+        count==0 lanes terminated instead."""
 
-        # --- leaf: intersect up to MAX_LEAF_SIZE triangles
-        do_leaf = box_hit & is_leaf
+        def cond(s):
+            node, _, count = s
+            return jnp.any((node < sentinel) & (count == 0))
+
+        def body(s):
+            node, first, count = s
+            live = (node < sentinel) & (count == 0)
+            nidx = jnp.minimum(node, n_nodes - 1)
+            nd = ds.bvh_nodes[nidx]
+            t0, t1 = ray_aabb(origin, inv_dir, nd[:, 0:3], nd[:, 3:6])
+            box_hit = (t0 <= t1) & (t1 >= t_min) & (t0 <= t_best) & live
+            meta1 = jax.lax.bitcast_convert_type(nd[:, 6], jnp.int32)
+            skip = jax.lax.bitcast_convert_type(nd[:, 7], jnp.int32)
+            n_count = meta1 & 7
+            n_first = meta1 >> 3
+            is_leaf = n_count > 0
+            park = box_hit & is_leaf
+            first = jnp.where(park, n_first, first)
+            count = jnp.where(park, n_count, count)
+            nxt = jnp.where(box_hit & ~is_leaf, node + 1, skip)
+            node = jnp.where(live, nxt, node)
+            return node, first, count
+
+        zero = jnp.zeros_like(best)
+        return jax.lax.while_loop(cond, body, (node, zero, zero))
+
+    def outer_cond(state):
+        node, _, _, count = state
+        return jnp.any((node < sentinel) | (count > 0))
+
+    def outer_body(state):
+        node, t_best, best, _ = state
+        node, first, count = find_leaf(node, t_best, best)
+
+        do_leaf = count > 0
         offs = jnp.arange(MAX_LEAF_SIZE, dtype=jnp.int32)
         tid = jnp.minimum(first[:, None] + offs[None, :], n_tris - 1)
         lane_ok = do_leaf[:, None] & (offs[None, :] < count[:, None])
-        p0 = ds.tri_p0[tid]
-        p1 = ds.tri_p1[tid]
-        p2 = ds.tri_p2[tid]
+        pack = ds.tri_pack[tid]  # (B, L, 9)
         valid, t, _, _ = ray_triangle(
-            origin[:, None, :], direction[:, None, :], p0, p1, p2,
+            origin[:, None, :], direction[:, None, :],
+            pack[..., 0:3], pack[..., 3:6], pack[..., 6:9],
             t_min[:, None], t_best[:, None],
         )
         t = jnp.where(valid & lane_ok, t, INF)
@@ -132,19 +162,18 @@ def intersect_scene(
         t_leaf = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
         leaf_hit = jnp.isfinite(t_leaf)
         t_best = jnp.where(leaf_hit, t_leaf, t_best)
-        best = jnp.where(
-            leaf_hit, first + k.astype(jnp.int32), best
-        )
-
-        # --- advance: descend into internal hits, otherwise skip
-        nxt = jnp.where(box_hit & ~is_leaf, node + 1, ds.bvh_skip[nidx])
+        best = jnp.where(leaf_hit, first + k.astype(jnp.int32), best)
         if early_exit:
-            nxt = jnp.where(best >= 0, sentinel, nxt)
-        node = jnp.where(live, nxt, node)
-        return node, t_best, best
+            node = jnp.where(do_leaf & (best >= 0), sentinel, node)
+        return node, t_best, best, jnp.zeros_like(count)
 
     node0 = jnp.where(active, 0, sentinel).astype(ds.bvh_skip.dtype)
-    _, t_best, best = jax.lax.while_loop(cond, body, (node0, t_best, best))
+    if early_exit:
+        node0 = jnp.where(best >= 0, sentinel, node0)
+    zero = jnp.zeros_like(best)
+    _, t_best, best, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (node0, t_best, best, zero)
+    )
     t = jnp.where(best >= 0, t_best, INF)
     return t, best
 
