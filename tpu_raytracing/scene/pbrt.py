@@ -269,7 +269,8 @@ def parse_parameter_list(toks: TokenStream) -> ParameterList:
                 vals.append(_float(toks.next()))
             out.params.append((pname, "rgb", vals[:3]))
         elif ptype == "bool":
-            a = next(iter(atoms()), None)
+            # values are quoted ("true") or bare; read the token directly
+            a = toks.next()
             if a is None:
                 raise PbrtParseError(f"bool {pname}: missing value")
             s = a.strip('"')
@@ -277,8 +278,7 @@ def parse_parameter_list(toks: TokenStream) -> ParameterList:
                 raise PbrtParseError(f"bad bool: {a!r}")
             out.params.append((pname, "bool", s == "true"))
         elif ptype in ("string", "texture"):
-            a = next(iter(atoms()), None)
-            out.params.append((pname, ptype, _unquote(a)))
+            out.params.append((pname, ptype, _unquote(toks.next())))
         else:
             log.warning("unknown parameter type %r, skipping", ptype)
             for _ in atoms():
