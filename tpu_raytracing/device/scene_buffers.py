@@ -88,6 +88,9 @@ class SceneMeta:
     far_clip: float
     aperture_radius: float
     focal_distance: float
+    # stack traversal: encoded root child-meta + tree depth (stack bound)
+    root_meta: int = -1
+    bvh2_depth: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -118,6 +121,11 @@ class DeviceScene:
     # bits(skip)]; tri_pack (T, 9) f32 = [p0, p1, p2]
     bvh_nodes: jax.Array
     tri_pack: jax.Array
+    # child-pair rows for stack-based near-first traversal: one row per
+    # INTERNAL node = [L.min, L.max, R.min, R.max, bits(metaL), bits(metaR),
+    # pad, pad] (16 f32). meta encodes a child: leaf -> (first<<3)|count
+    # (count in 1..MAX_LEAF), internal -> row_index<<3 (low bits 0).
+    bvh2_rows: jax.Array
     # spheres (object-space)
     sph_center: jax.Array
     sph_radius: jax.Array
@@ -167,6 +175,66 @@ class DeviceScene:
     bounds_radius: jax.Array
     # static (hashable; not a pytree leaf)
     meta: SceneMeta = field(metadata=dict(static=True))
+
+
+def _child_pair_layout(bvh):
+    """Child-pair rows for stack traversal. Returns (rows, root_meta, depth).
+
+    In the preorder skip-link layout the left child of internal i is i+1 and
+    the right child is skip[i+1]; each internal node's row stores BOTH child
+    boxes so near-first descent needs one gather per step.
+    """
+    count = bvh.count
+    n_nodes = count.shape[0]
+    is_int = count == 0
+    if bvh.prim_order.shape[0] == 0:
+        return np.zeros((1, 16), F), -1, 1
+    row_of = np.full(n_nodes, -1, np.int64)
+    row_of[np.nonzero(is_int)[0]] = np.arange(int(is_int.sum()))
+
+    def child_meta(c):
+        if count[c] > 0:
+            return (int(bvh.left_first[c]) << 3) | int(count[c])
+        return int(row_of[c]) << 3
+
+    m = int(is_int.sum())
+    if m == 0:
+        # single-leaf tree: root itself is a leaf
+        root_meta = (int(bvh.left_first[0]) << 3) | int(count[0])
+        return np.zeros((1, 16), F), root_meta, 1
+
+    ints = np.nonzero(is_int)[0]
+    left = ints + 1
+    right = bvh.skip[left].astype(np.int64)
+
+    def child_metas(c):
+        leaf = count[c] > 0
+        return np.where(
+            leaf,
+            (bvh.left_first[c].astype(np.int64) << 3) | count[c],
+            row_of[c] << 3,
+        ).astype(np.int32)
+
+    rows = np.zeros((m, 16), F)
+    rows[:, 0:3] = bvh.node_min[left]
+    rows[:, 3:6] = bvh.node_max[left]
+    rows[:, 6:9] = bvh.node_min[right]
+    rows[:, 9:12] = bvh.node_max[right]
+    rows[:, 12] = child_metas(left).view(F)
+    rows[:, 13] = child_metas(right).view(F)
+    root_meta = 0  # root is internal -> row 0 (preorder)
+
+    # tree depth bounds the traversal stack (static, per scene); children
+    # always have larger preorder indices so one forward sweep suffices
+    depth = np.zeros(n_nodes, np.int64)
+    # preorder: a parent precedes its children, so one forward sweep works
+    for i in ints:
+        l = i + 1
+        r = int(bvh.skip[l])
+        depth[l] = depth[r] = depth[i] + 1
+    maxd = int(depth.max()) + 1
+    rows = _pad_rows(rows, _round_up(m, 8))
+    return rows, root_meta, maxd
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -348,6 +416,8 @@ def compile_scene(scene: Scene) -> DeviceScene:
         axis=1,
     ).astype(F)
     tri_pack = np.concatenate([tri_p0, tri_p1, tri_p2], axis=1).astype(F)
+
+    bvh2_rows, root_meta, bvh2_depth = _child_pair_layout(bvh)
 
     # ---------------- spheres
     n_spheres = len(sph)
@@ -609,6 +679,8 @@ def compile_scene(scene: Scene) -> DeviceScene:
         far_clip=float(cam.far_clip),
         aperture_radius=float(aperture),
         focal_distance=float(focal),
+        root_meta=int(root_meta),
+        bvh2_depth=int(bvh2_depth),
     )
 
     dev = lambda a: jnp.asarray(a)  # noqa: E731
@@ -622,6 +694,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh_first=dev(bvh_first), bvh_count=dev(bvh_count),
         bvh_skip=dev(bvh_skip),
         bvh_nodes=dev(bvh_nodes), tri_pack=dev(tri_pack),
+        bvh2_rows=dev(bvh2_rows),
         sph_center=dev(sph_center), sph_radius=dev(sph_radius),
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),
         sph_mat=dev(sph_mat), sph_light=dev(sph_light),

@@ -27,6 +27,134 @@ from .linalg import (
 
 INF = jnp.inf
 
+# stack-based near-first traversal is the default; the skip-link walk
+# remains as a debug/comparison fallback (TPU_RT_TRAVERSAL=skiplink)
+import os as _os
+
+_USE_STACK = _os.environ.get("TPU_RT_TRAVERSAL", "stack") == "stack"
+
+
+def _intersect_stack(
+    ds, origin, direction, t_min, t_max, t_best, best, active, early_exit
+):
+    """Near-first stack traversal over child-pair rows (ds.bvh2_rows).
+
+    Each internal step gathers ONE 16-wide row holding both children's
+    AABBs + metas, tests both slabs, descends into the nearer hit child and
+    pushes the farther onto a per-lane register stack ((B, D) selects — D is
+    the static tree depth). Near-first ordering tightens t_best early, so
+    closest-hit visits far fewer nodes than a fixed-DFS skip-link walk —
+    the iteration count is what a TPU while_loop pays for.
+
+    Leaf phases are batched while-while style: the inner loop parks every
+    live lane on a leaf meta, the outer loop intersects parked leaves.
+    meta encoding: leaf -> (first<<3)|count (count>0), internal -> row<<3.
+    """
+    B = origin.shape[0]
+    n_tris = ds.meta.n_tris
+    D = max(int(ds.meta.bvh2_depth), 1)
+    root = ds.meta.root_meta
+    inv_dir = 1.0 / direction
+
+    DONE = jnp.int32(-1)
+    cur0 = jnp.where(active, jnp.int32(root), DONE)
+    if early_exit:
+        cur0 = jnp.where(best >= 0, DONE, cur0)
+    sp0 = jnp.zeros(B, jnp.int32)
+    stack0 = jnp.zeros((B, D), jnp.int32)
+    lane_iota = jnp.arange(D, dtype=jnp.int32)[None, :]
+
+    def is_leaf(meta):
+        return (meta & 7) > 0
+
+    def pop(cur, sp, stack, do):
+        """Lanes in `do` pop (or finish when their stack is empty)."""
+        can = sp > 0
+        top = jnp.sum(
+            jnp.where(lane_iota == (sp - 1)[:, None], stack, 0), axis=1
+        )
+        cur = jnp.where(do, jnp.where(can, top, DONE), cur)
+        sp = jnp.where(do & can, sp - 1, sp)
+        return cur, sp
+
+    def inner(cur, sp, stack, t_best):
+        def cond(s):
+            cur, _, _ = s
+            return jnp.any((cur != DONE) & ~is_leaf(cur))
+
+        def body(s):
+            cur, sp, stack = s
+            live = (cur != DONE) & ~is_leaf(cur)
+            row = ds.bvh2_rows[jnp.maximum(cur >> 3, 0)]
+            tl0, tl1 = ray_aabb(origin, inv_dir, row[:, 0:3], row[:, 3:6])
+            tr0, tr1 = ray_aabb(origin, inv_dir, row[:, 6:9], row[:, 9:12])
+            hit_l = (tl0 <= tl1) & (tl1 >= t_min) & (tl0 <= t_best)
+            hit_r = (tr0 <= tr1) & (tr1 >= t_min) & (tr0 <= t_best)
+            meta_l = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
+            meta_r = jax.lax.bitcast_convert_type(row[:, 13], jnp.int32)
+
+            both = hit_l & hit_r & live
+            l_near = tl0 <= tr0
+            near = jnp.where(l_near, meta_l, meta_r)
+            far = jnp.where(l_near, meta_r, meta_l)
+
+            # push the far child when both hit
+            stack = jnp.where(
+                (both[:, None]) & (lane_iota == sp[:, None]),
+                far[:, None], stack,
+            )
+            sp = jnp.where(both, sp + 1, sp)
+
+            one = (hit_l ^ hit_r) & live
+            nxt = jnp.where(both, near, jnp.where(hit_l, meta_l, meta_r))
+            cur = jnp.where(live & (both | one), nxt, cur)
+            none = live & ~hit_l & ~hit_r
+            cur, sp = pop(cur, sp, stack, none)
+            return cur, sp, stack
+
+        return jax.lax.while_loop(cond, body, (cur, sp, stack))
+
+    def outer_cond(state):
+        cur, _, _, _, _ = state
+        return jnp.any(cur != DONE)
+
+    def outer_body(state):
+        cur, sp, stack, t_best, best = state
+        cur, sp, stack = inner(cur, sp, stack, t_best)
+
+        do_leaf = (cur != DONE) & is_leaf(cur)
+        count = jnp.where(do_leaf, cur & 7, 0)
+        first = jnp.maximum(cur >> 3, 0)
+        offs = jnp.arange(MAX_LEAF_SIZE, dtype=jnp.int32)
+        tid = jnp.minimum(first[:, None] + offs[None, :], n_tris - 1)
+        lane_ok = do_leaf[:, None] & (offs[None, :] < count[:, None])
+        pack = ds.tri_pack[tid]
+        valid, t, _, _ = ray_triangle(
+            origin[:, None, :], direction[:, None, :],
+            pack[..., 0:3], pack[..., 3:6], pack[..., 6:9],
+            t_min[:, None], t_best[:, None],
+        )
+        t = jnp.where(valid & lane_ok, t, INF)
+        k = jnp.argmin(t, axis=1)
+        t_leaf = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
+        leaf_hit = jnp.isfinite(t_leaf)
+        t_best = jnp.where(leaf_hit, t_leaf, t_best)
+        best = jnp.where(leaf_hit, first + k.astype(jnp.int32), best)
+
+        if early_exit:
+            fin = do_leaf & (best >= 0)
+            cur = jnp.where(fin, DONE, cur)
+            sp = jnp.where(fin, 0, sp)
+            do_leaf = do_leaf & ~fin
+        cur, sp = pop(cur, sp, stack, do_leaf)
+        return cur, sp, stack, t_best, best
+
+    _, _, _, t_best, best = jax.lax.while_loop(
+        outer_cond, outer_body, (cur0, sp0, stack0, t_best, best)
+    )
+    t = jnp.where(best >= 0, t_best, INF)
+    return t, best
+
 
 class Hit(NamedTuple):
     """SoA hit records (counterpart of accel.rs HitInfo)."""
@@ -91,6 +219,12 @@ def intersect_scene(
     if n_tris == 0:
         t = jnp.where(best >= 0, t_best, INF)
         return t, best
+
+    if _USE_STACK:
+        return _intersect_stack(
+            ds, origin, direction, t_min, t_max, t_best, best, active,
+            early_exit,
+        )
 
     n_nodes = ds.bvh_skip.shape[0]
     # sentinel: traversal ends when the node pointer reaches the unpadded node
