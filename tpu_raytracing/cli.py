@@ -81,6 +81,18 @@ def _add_common(p: argparse.ArgumentParser, suppress: bool) -> None:
         "--chunk-pixels", type=int, default=d(None),
         help="Pixels per device dispatch (perf tuning)",
     )
+    p.add_argument(
+        "--profile", type=Path, default=d(None), metavar="DIR",
+        help="Write a jax.profiler trace of the render to DIR",
+    )
+    p.add_argument(
+        "--checkpoint", type=Path, default=d(None), metavar="FILE",
+        help="Accumulate spp in chunks, checkpointing to FILE (resumable)",
+    )
+    p.add_argument(
+        "--spp-chunk", type=int, default=d(32),
+        help="Samples per accumulation chunk when --checkpoint is used",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -195,6 +207,14 @@ def _apply_aov_flags(settings, args):
         flags &= ~AovFlags.BEAUTY
     settings.outputs = flags
     return settings
+
+
+def _replace_outputs(settings, outputs):
+    import copy
+
+    s = copy.copy(settings)
+    s.outputs = outputs
+    return s
 
 
 def _add_suffix(path: Path, suffix: str) -> Path:
@@ -318,7 +338,35 @@ def main(argv=None) -> int:
 
     from .integrator.render import render
 
-    out = render(scene, settings, chunk_pixels=args.chunk_pixels)
+    def do_render():
+        if args.checkpoint is not None:
+            from .integrator.accumulate import render_accumulated
+            from .settings import AovFlags as _A
+
+            out = render_accumulated(
+                scene, settings, spp_chunk=args.spp_chunk,
+                checkpoint_path=args.checkpoint,
+                chunk_pixels=args.chunk_pixels,
+            )
+            if settings.outputs & ~_A.BEAUTY:
+                aov_only = render(
+                    scene,
+                    _replace_outputs(settings, settings.outputs & ~_A.BEAUTY),
+                    chunk_pixels=args.chunk_pixels,
+                )
+                for f in ("normals", "albedo", "uv", "mip_level"):
+                    setattr(out, f, getattr(aov_only, f))
+            return out
+        return render(scene, settings, chunk_pixels=args.chunk_pixels)
+
+    if args.profile is not None:
+        import jax
+
+        with jax.profiler.trace(str(args.profile)):
+            out = do_render()
+        log.info("profiler trace written to %s", args.profile)
+    else:
+        out = do_render()
 
     output_folder = Path("scenes/output")
     output_file = output_folder / (args.output or Path("output.exr"))
