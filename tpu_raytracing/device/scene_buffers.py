@@ -91,6 +91,8 @@ class SceneMeta:
     # stack traversal: encoded root child-meta + tree depth (stack bound)
     root_meta: int = -1
     bvh2_depth: int = 1
+    # unpadded BVH node count == skip-link walk sentinel
+    n_bvh_nodes: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -121,6 +123,9 @@ class DeviceScene:
     # bits(skip)]; tri_pack (T, 9) f32 = [p0, p1, p2]
     bvh_nodes: jax.Array
     tri_pack: jax.Array
+    # (N, 2) i32 [(first<<3)|count, skip] — Mosaic can't bitcast scalars,
+    # so the Pallas walk reads metas from this integer view
+    bvh_meta_i32: jax.Array
     # child-pair rows for stack-based near-first traversal: one row per
     # INTERNAL node = [L.min, L.max, R.min, R.max, bits(metaL), bits(metaR),
     # pad, pad] (16 f32). meta encodes a child: leaf -> (first<<3)|count
@@ -416,6 +421,9 @@ def compile_scene(scene: Scene) -> DeviceScene:
         axis=1,
     ).astype(F)
     tri_pack = np.concatenate([tri_p0, tri_p1, tri_p2], axis=1).astype(F)
+    bvh_meta_i32 = np.stack(
+        [meta1.astype(np.int32), bvh_skip.astype(np.int32)], axis=1
+    )
 
     bvh2_rows, root_meta, bvh2_depth = _child_pair_layout(bvh)
 
@@ -681,6 +689,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         focal_distance=float(focal),
         root_meta=int(root_meta),
         bvh2_depth=int(bvh2_depth),
+        n_bvh_nodes=int(n_nodes),
     )
 
     dev = lambda a: jnp.asarray(a)  # noqa: E731
@@ -694,6 +703,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh_first=dev(bvh_first), bvh_count=dev(bvh_count),
         bvh_skip=dev(bvh_skip),
         bvh_nodes=dev(bvh_nodes), tri_pack=dev(tri_pack),
+        bvh_meta_i32=dev(bvh_meta_i32),
         bvh2_rows=dev(bvh2_rows),
         sph_center=dev(sph_center), sph_radius=dev(sph_radius),
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),

@@ -40,6 +40,7 @@ def _settings_fingerprint(settings: RaytracerSettings, ds: DeviceScene) -> str:
             "accumulate": settings.accumulate_bounces,
             "wh": [ds.meta.width, ds.meta.height],
             "tris": ds.meta.n_tris,
+            "layout": "morton1",  # accumulator pixel ordering
         },
         sort_keys=True,
     )
@@ -84,7 +85,7 @@ def render_accumulated(
                 log.warning("checkpoint does not match settings; starting fresh")
 
     st = StaticSettings.from_settings(settings)
-    px, py = _pixel_grid(width, height)
+    px, py, unmorton = _pixel_grid(width, height)
 
     import jax
     from functools import partial
@@ -129,6 +130,8 @@ def render_accumulated(
             tmp.replace(checkpoint_path)
 
     out = RenderOutput(width=width, height=height)
-    out.beauty = (accum / np.float32(total_spp)).reshape(height, width, 3)
+    out.beauty = (
+        (accum[unmorton] / np.float32(total_spp)).reshape(height, width, 3)
+    )
     out.rays_traced = rays_total
     return out

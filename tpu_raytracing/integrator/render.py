@@ -309,11 +309,34 @@ def render_aov_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py):
     return normals, albedo, uv, mip
 
 
+def _interleave_bits(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64)
+    v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+    v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+    return v
+
+
 def _pixel_grid(width: int, height: int):
+    """Flat pixel lists in Morton order (+ the inverse permutation).
+
+    Morton-ordered chunks hold spatially coherent primary rays, so the
+    per-chunk worst-case traversal depth — what a lockstep while_loop pays
+    for — tracks the local scene complexity instead of a whole image row.
+    Per-pixel results are order-independent (RNG keyed by pixel), so this
+    never changes the image.
+    """
     xs = np.arange(width, dtype=np.uint32)
     ys = np.arange(height, dtype=np.uint32)
     px, py = np.meshgrid(xs, ys)
-    return px.reshape(-1), py.reshape(-1)
+    px, py = px.reshape(-1), py.reshape(-1)
+    morton = _interleave_bits(px) | (_interleave_bits(py) << np.uint64(1))
+    order = np.argsort(morton, kind="stable")
+    inverse = np.empty_like(order)
+    inverse[order] = np.arange(order.shape[0])
+    return px[order], py[order], inverse
 
 
 def _run_chunked(fn, px, py, n_outputs, chunk=None):
@@ -358,7 +381,7 @@ def render(
     cfg = SamplerConfig.from_settings(settings.sampler, settings.seed)
     st = StaticSettings.from_settings(settings)
     width, height = ds.meta.width, ds.meta.height
-    px, py = _pixel_grid(width, height)
+    px, py, unmorton = _pixel_grid(width, height)
     out = RenderOutput(width=width, height=height)
 
     if settings.outputs & AovFlags.FIRST_HIT_AOVS:
@@ -369,13 +392,13 @@ def render(
         )
         log.info("aov pass took %.3fs", time.perf_counter() - t0)
         if settings.outputs & AovFlags.NORMALS:
-            out.normals = normals.reshape(height, width, 3)
+            out.normals = normals[unmorton].reshape(height, width, 3)
         if settings.outputs & AovFlags.ALBEDO:
-            out.albedo = albedo.reshape(height, width, 3)
+            out.albedo = albedo[unmorton].reshape(height, width, 3)
         if settings.outputs & AovFlags.UV_COORDS:
-            out.uv = uv.reshape(height, width, 2)
+            out.uv = uv[unmorton].reshape(height, width, 2)
         if settings.outputs & AovFlags.MIP_LEVEL:
-            out.mip_level = mip.reshape(height, width)
+            out.mip_level = mip[unmorton].reshape(height, width)
 
     if settings.outputs & AovFlags.BEAUTY:
         t0 = time.perf_counter()
@@ -393,7 +416,7 @@ def render(
             "beauty pass took %.3fs (%d rays, %.1f Mrays/s)",
             dt, n_rays[0], n_rays[0] / dt / 1e6,
         )
-        beauty = beauty.reshape(height, width, 3)
+        beauty = beauty[unmorton].reshape(height, width, 3)
         # NaN/Inf scan (lib.rs:815-854)
         bad = ~np.isfinite(beauty)
         if bad.any():

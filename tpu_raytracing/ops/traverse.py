@@ -32,6 +32,20 @@ INF = jnp.inf
 import os as _os
 
 _USE_STACK = _os.environ.get("TPU_RT_TRAVERSAL", "stack") == "stack"
+_PALLAS_MODE = _os.environ.get("TPU_RT_PALLAS", "auto")  # auto | 1 | 0
+
+
+def _use_pallas(ds) -> bool:
+    """Lockstep Pallas traversal: default on TPU when tables fit VMEM."""
+    if _PALLAS_MODE == "0":
+        return False
+    from .traverse_pallas import supports
+
+    if not supports(ds):
+        return False
+    if _PALLAS_MODE == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _intersect_stack(
@@ -217,6 +231,20 @@ def intersect_scene(
         best = jnp.where(sph_hit, n_tris + sidx, best)
 
     if n_tris == 0:
+        t = jnp.where(best >= 0, t_best, INF)
+        return t, best
+
+    if _use_pallas(ds):
+        from .traverse_pallas import intersect_tris_pallas
+
+        act = active & (best < 0) if early_exit else active
+        pt, pbest = intersect_tris_pallas(
+            ds, origin, direction, t_min, t_best, act,
+            early_exit=early_exit,
+        )
+        tri_hit = pbest >= 0
+        t_best = jnp.where(tri_hit, pt, t_best)
+        best = jnp.where(tri_hit, pbest, best)
         t = jnp.where(best >= 0, t_best, INF)
         return t, best
 

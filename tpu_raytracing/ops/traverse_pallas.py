@@ -1,0 +1,206 @@
+"""Pallas TPU traversal: lockstep broadcast walk over the skip-link BVH.
+
+Per-lane gathers don't vectorize on TPU (and Mosaic doesn't lower them), so
+this kernel inverts the data flow: a ray TILE (8x128 lanes) shares ONE
+scalar node pointer that walks the preorder skip-link tree; every node is a
+scalar VMEM row read broadcast to all lanes (no gathers anywhere), lanes
+mask themselves with their own slab test, and the tile descends when ANY
+lane hits, else follows the skip link. AABB containment (child box inside
+parent box) guarantees a lane can never pass a node whose ancestor it
+missed, so each lane's hit set — and therefore its closest hit — is
+identical to an independent per-ray walk: results are bit-compatible with
+ops/traverse.py's skip-link walk.
+
+Divergent tiles visit the union of their lanes' node sets; Morton-ordered
+pixel chunks (integrator/render.py) keep primary tiles coherent. Node and
+triangle tables live wholly in VMEM (bunny: 0.6 MB + 1 MB), read as scalar
+rows.
+
+Reference counterparts: per-ray DFS stack traversal accel.rs:65-259 /
+OptiX hardware traversal; leaf layout matches BreadthFirst-style packing
+(bvh2.rs:286-400) in spirit — nodes in preorder with skip links.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.bvh import MAX_LEAF_SIZE
+
+SUB, LANE = 8, 128
+TILE = SUB * LANE
+INF = float(np.inf)  # python float: jnp scalars would be captured consts
+
+# VMEM budget for the resident tables (nodes + tris + rays + carries)
+VMEM_TABLE_BYTES = 10 * 1024 * 1024
+
+
+def supports(ds) -> bool:
+    nodes = ds.bvh_nodes.shape[0] * 8 * 4
+    tris = ds.tri_pack.shape[0] * 9 * 4
+    return ds.meta.n_tris > 0 and (nodes + tris) < VMEM_TABLE_BYTES
+
+
+def _walk_kernel(early_exit: bool, sentinel: int, n_tris: int):
+    def kernel(
+        nodes_ref, meta_ref, tris_ref,
+        ox, oy, oz, dx, dy, dz, tmn, tmx, act,
+        t_out, best_out,
+    ):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        inv = tuple(1.0 / c for c in d)
+        t_min = tmn[:]
+        live0 = act[:] > 0
+
+        t_best0 = tmx[:]
+        best0 = jnp.full((SUB, LANE), -1, jnp.int32)
+
+        def cond(c):
+            return c[0] < sentinel
+
+        def body(c):
+            node, t_best, best = c
+            row = nodes_ref[node]  # (8,) scalar row, broadcast to lanes
+            meta = meta_ref[node, 0]  # (first<<3)|count
+            skip = meta_ref[node, 1]
+
+            # slab test: scalars broadcast against (SUB, LANE) lanes
+            t0 = jnp.full((SUB, LANE), -INF)
+            t1 = jnp.full((SUB, LANE), INF)
+            for ax in range(3):
+                a = (row[ax] - o[ax]) * inv[ax]
+                b = (row[3 + ax] - o[ax]) * inv[ax]
+                t0 = jnp.maximum(t0, jnp.minimum(a, b))
+                t1 = jnp.minimum(t1, jnp.maximum(a, b))
+            hit = (t0 <= t1) & (t1 >= t_min) & (t0 <= t_best) & live0
+            if early_exit:
+                hit = hit & (best == -1)
+
+            count = meta & 7
+            first = meta >> 3
+            is_leaf = count > 0
+            any_hit = jnp.any(hit)
+
+            def leaf(args):
+                t_best, best = args
+                # first-min within the leaf (argmin tie semantics), then a
+                # <=-update against t_best (cross-leaf semantics) — mirrors
+                # the batched jnp leaf phase exactly.
+                cur_t = jnp.full((SUB, LANE), INF)
+                cur_k = jnp.zeros((SUB, LANE), jnp.int32)
+                for k in range(MAX_LEAF_SIZE):
+                    tri = tris_ref[jnp.minimum(first + k, n_tris - 1)]  # (9,)
+                    p0 = (tri[0], tri[1], tri[2])
+                    e1 = (tri[3] - tri[0], tri[4] - tri[1], tri[5] - tri[2])
+                    e2 = (tri[6] - tri[0], tri[7] - tri[1], tri[8] - tri[2])
+                    # Moller-Trumbore against all lanes (scalar triangle)
+                    pv0 = d[1] * e2[2] - d[2] * e2[1]
+                    pv1 = d[2] * e2[0] - d[0] * e2[2]
+                    pv2 = d[0] * e2[1] - d[1] * e2[0]
+                    den = pv0 * e1[0] + pv1 * e1[1] + pv2 * e1[2]
+                    sden = jnp.where(den == 0.0, 1.0, den)
+                    tv = (o[0] - p0[0], o[1] - p0[1], o[2] - p0[2])
+                    u = (pv0 * tv[0] + pv1 * tv[1] + pv2 * tv[2]) / sden
+                    qv0 = tv[1] * e1[2] - tv[2] * e1[1]
+                    qv1 = tv[2] * e1[0] - tv[0] * e1[2]
+                    qv2 = tv[0] * e1[1] - tv[1] * e1[0]
+                    v = (qv0 * d[0] + qv1 * d[1] + qv2 * d[2]) / sden
+                    t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
+                    ok = (
+                        (den != 0.0)
+                        & (u >= 0.0) & (u <= 1.0)
+                        & (v >= 0.0) & (u + v <= 1.0)
+                        & (t >= t_min) & (t <= t_best)
+                        & hit
+                        & (k < count)
+                    )
+                    take = ok & (t < cur_t)
+                    cur_t = jnp.where(take, t, cur_t)
+                    cur_k = jnp.where(take, k, cur_k)
+                leaf_hit = cur_t < INF
+                t_best = jnp.where(leaf_hit, cur_t, t_best)
+                best = jnp.where(leaf_hit, first + cur_k, best)
+                return t_best, best
+
+            t_best, best = jax.lax.cond(
+                any_hit & is_leaf, leaf, lambda a: a, (t_best, best)
+            )
+            if early_exit:
+                done = jnp.all(jnp.where(live0, best >= 0, True))
+                node = jnp.where(
+                    done, sentinel,
+                    jnp.where(any_hit & ~is_leaf, node + 1, skip),
+                )
+            else:
+                node = jnp.where(any_hit & ~is_leaf, node + 1, skip)
+            return node, t_best, best
+
+        _, t_best, best = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t_best0, best0)
+        )
+        t_out[:] = t_best
+        best_out[:] = best
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _walk_tiles(shape_key, nodes, meta, tris, early_exit, cols):
+    """cols = (ox..tmx, act) stacked (G*SUB, LANE) arrays."""
+    sentinel, n_tris, interpret = shape_key
+    g = cols[0].shape[0] // SUB
+    kernel = _walk_kernel(early_exit, sentinel, n_tris)
+    grid = (g,)
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((g * SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g * SUB, LANE), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes (whole table)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # node metas (i32)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tris
+            *[ray_spec] * 9,
+        ],
+        out_specs=(ray_spec, ray_spec),
+        interpret=interpret,
+    )(nodes, meta, tris, *cols)
+    return out
+
+
+def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
+                          early_exit=False):
+    """Triangle-closest-hit via the lockstep kernel. Returns (t, best)."""
+    B = origin.shape[0]
+    pad = (-B) % TILE
+    total = B + pad
+
+    def col(x, fill):
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
+        return x.reshape(total // LANE, LANE)
+
+    cols = (
+        col(origin[:, 0], 0.0), col(origin[:, 1], 0.0), col(origin[:, 2], 0.0),
+        col(direction[:, 0], 1.0), col(direction[:, 1], 1.0),
+        col(direction[:, 2], 1.0),
+        col(t_min, 0.0), col(t_max, -1.0),
+        col(active.astype(jnp.int32), 0),
+    )
+    sentinel = int(ds.meta.n_bvh_nodes)  # static per scene
+    interpret = jax.default_backend() != "tpu"
+    shape_key = (sentinel, int(ds.meta.n_tris), interpret)
+    t, best = _walk_tiles(shape_key, ds.bvh_nodes, ds.bvh_meta_i32,
+                          ds.tri_pack, early_exit, cols)
+    t = t.reshape(-1)[:B]
+    best = best.reshape(-1)[:B]
+    return t, best
