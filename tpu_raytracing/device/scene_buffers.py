@@ -123,9 +123,10 @@ class DeviceScene:
     # bits(skip)]; tri_pack (T, 9) f32 = [p0, p1, p2]
     bvh_nodes: jax.Array
     tri_pack: jax.Array
-    # (N, 2) i32 [(first<<3)|count, skip] — Mosaic can't bitcast scalars,
-    # so the Pallas walk reads metas from this integer view
-    bvh_meta_i32: jax.Array
+    # 128-lane packed tables for the Pallas lockstep walk (Mosaic pads the
+    # minor dim to 128, so narrow tables would blow up 16x in VMEM)
+    bvh_nodes_pk: jax.Array   # (ceil(N/16), 128) f32, 16 node records/row
+    tri_pack_pk: jax.Array    # (ceil(T/8), 128) f32, 8 tri records/row
     # child-pair rows for stack-based near-first traversal: one row per
     # INTERNAL node = [L.min, L.max, R.min, R.max, bits(metaL), bits(metaR),
     # pad, pad] (16 f32). meta encodes a child: leaf -> (first<<3)|count
@@ -421,9 +422,10 @@ def compile_scene(scene: Scene) -> DeviceScene:
         axis=1,
     ).astype(F)
     tri_pack = np.concatenate([tri_p0, tri_p1, tri_p2], axis=1).astype(F)
-    bvh_meta_i32 = np.stack(
-        [meta1.astype(np.int32), bvh_skip.astype(np.int32)], axis=1
-    )
+
+    from ..ops.traverse_pallas import pack_tables
+
+    bvh_nodes_pk, tri_pack_pk = pack_tables(bvh_nodes, tri_pack)
 
     bvh2_rows, root_meta, bvh2_depth = _child_pair_layout(bvh)
 
@@ -703,7 +705,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh_first=dev(bvh_first), bvh_count=dev(bvh_count),
         bvh_skip=dev(bvh_skip),
         bvh_nodes=dev(bvh_nodes), tri_pack=dev(tri_pack),
-        bvh_meta_i32=dev(bvh_meta_i32),
+        bvh_nodes_pk=dev(bvh_nodes_pk), tri_pack_pk=dev(tri_pack_pk),
         bvh2_rows=dev(bvh2_rows),
         sph_center=dev(sph_center), sph_radius=dev(sph_radius),
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),

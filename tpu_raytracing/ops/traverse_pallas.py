@@ -3,22 +3,27 @@
 Per-lane gathers don't vectorize on TPU (and Mosaic doesn't lower them), so
 this kernel inverts the data flow: a ray TILE (8x128 lanes) shares ONE
 scalar node pointer that walks the preorder skip-link tree; every node is a
-scalar VMEM row read broadcast to all lanes (no gathers anywhere), lanes
-mask themselves with their own slab test, and the tile descends when ANY
-lane hits, else follows the skip link. AABB containment (child box inside
-parent box) guarantees a lane can never pass a node whose ancestor it
-missed, so each lane's hit set — and therefore its closest hit — is
-identical to an independent per-ray walk: results are bit-compatible with
-ops/traverse.py's skip-link walk.
+scalar-indexed VMEM row read broadcast to all lanes (no gathers anywhere),
+lanes mask themselves with their own slab test, and the tile descends when
+ANY lane hits, else follows the skip link. AABB containment (child box
+inside parent box) guarantees a lane can never pass a node whose ancestor
+it missed, so each lane's hit set — and therefore its closest hit — is
+identical to an independent per-ray walk: winners are bit-equal to
+ops/traverse.py's walk (t agrees to FMA-contraction ULPs).
+
+VMEM tiling note: Mosaic pads an array's minor dimension to 128 lanes, so
+narrow tables like (N, 8) would blow up 16x and OOM VMEM. Tables are packed
+with full 128-lane rows instead: 16 node records (8 f32 each) or 8 triangle
+records (16 f32) per row; a visit reads one row by dynamic sublane index
+and selects its record with a static-slice switch. Integer fields ride as
+f32 bit patterns and are recovered with a VECTOR bitcast (Mosaic forbids
+scalar bitcasts).
 
 Divergent tiles visit the union of their lanes' node sets; Morton-ordered
-pixel chunks (integrator/render.py) keep primary tiles coherent. Node and
-triangle tables live wholly in VMEM (bunny: 0.6 MB + 1 MB), read as scalar
-rows.
+pixel chunks (integrator/render.py) keep primary tiles coherent.
 
 Reference counterparts: per-ray DFS stack traversal accel.rs:65-259 /
-OptiX hardware traversal; leaf layout matches BreadthFirst-style packing
-(bvh2.rs:286-400) in spirit — nodes in preorder with skip links.
+OptiX hardware traversal (kernels/pathtracer.cu).
 """
 from __future__ import annotations
 
@@ -35,21 +40,55 @@ from ..accel.bvh import MAX_LEAF_SIZE
 
 SUB, LANE = 8, 128
 TILE = SUB * LANE
-INF = float(np.inf)  # python float: jnp scalars would be captured consts
+INF = float(np.inf)
 
-# VMEM budget for the resident tables (nodes + tris + rays + carries)
-VMEM_TABLE_BYTES = 10 * 1024 * 1024
+NODE_F = 8          # f32 per node record: min3 max3 meta skip
+NODES_PER_ROW = LANE // NODE_F   # 16
+TRI_F = 16          # f32 per triangle record (9 used, padded)
+TRIS_PER_ROW = LANE // TRI_F     # 8
+
+# VMEM budget for the resident tables
+VMEM_TABLE_BYTES = 8 * 1024 * 1024
+
+
+def pack_tables(bvh_nodes: np.ndarray, tri_pack: np.ndarray):
+    """Host-side packing into 128-lane rows. Returns (nodes_pk, tris_pk)."""
+    n = bvh_nodes.shape[0]
+    n_pad = -n % NODES_PER_ROW
+    nodes = np.concatenate(
+        [bvh_nodes.astype(np.float32),
+         np.zeros((n_pad, NODE_F), np.float32)]
+    ) if n_pad else bvh_nodes.astype(np.float32)
+    nodes_pk = nodes.reshape(-1, LANE)
+
+    t = tri_pack.shape[0]
+    tris = np.zeros((t + (-t % TRIS_PER_ROW), TRI_F), np.float32)
+    tris[:t, :9] = tri_pack.astype(np.float32)
+    tris_pk = tris.reshape(-1, LANE)
+    return nodes_pk, tris_pk
 
 
 def supports(ds) -> bool:
-    nodes = ds.bvh_nodes.shape[0] * 8 * 4
-    tris = ds.tri_pack.shape[0] * 9 * 4
+    nodes = ds.bvh_nodes_pk.size * 4
+    tris = ds.tri_pack_pk.size * 4
     return ds.meta.n_tris > 0 and (nodes + tris) < VMEM_TABLE_BYTES
+
+
+def _select_record(row, sub, n_records, width):
+    """Static-slice switch: record `sub` (scalar) of a (1, 128) row."""
+    return jax.lax.switch(
+        sub,
+        [
+            (lambda r, k=k: jax.lax.slice(r, (0, k * width), (1, (k + 1) * width)))
+            for k in range(n_records)
+        ],
+        row,
+    )
 
 
 def _walk_kernel(early_exit: bool, sentinel: int, n_tris: int):
     def kernel(
-        nodes_ref, meta_ref, tris_ref,
+        nodes_ref, tris_ref,
         ox, oy, oz, dx, dy, dz, tmn, tmx, act,
         t_out, best_out,
     ):
@@ -67,16 +106,19 @@ def _walk_kernel(early_exit: bool, sentinel: int, n_tris: int):
 
         def body(c):
             node, t_best, best = c
-            row = nodes_ref[node]  # (8,) scalar row, broadcast to lanes
-            meta = meta_ref[node, 0]  # (first<<3)|count
-            skip = meta_ref[node, 1]
+            row = nodes_ref[pl.ds(node // NODES_PER_ROW, 1), :]  # (1, 128)
+            rec = _select_record(row, node % NODES_PER_ROW, NODES_PER_ROW,
+                                 NODE_F)                          # (1, 8)
+            ints = jax.lax.bitcast_convert_type(rec, jnp.int32)
+            meta = ints[0, 6]
+            skip = ints[0, 7]
 
             # slab test: scalars broadcast against (SUB, LANE) lanes
             t0 = jnp.full((SUB, LANE), -INF)
             t1 = jnp.full((SUB, LANE), INF)
             for ax in range(3):
-                a = (row[ax] - o[ax]) * inv[ax]
-                b = (row[3 + ax] - o[ax]) * inv[ax]
+                a = (rec[0, ax] - o[ax]) * inv[ax]
+                b = (rec[0, 3 + ax] - o[ax]) * inv[ax]
                 t0 = jnp.maximum(t0, jnp.minimum(a, b))
                 t1 = jnp.minimum(t1, jnp.maximum(a, b))
             hit = (t0 <= t1) & (t1 >= t_min) & (t0 <= t_best) & live0
@@ -96,10 +138,13 @@ def _walk_kernel(early_exit: bool, sentinel: int, n_tris: int):
                 cur_t = jnp.full((SUB, LANE), INF)
                 cur_k = jnp.zeros((SUB, LANE), jnp.int32)
                 for k in range(MAX_LEAF_SIZE):
-                    tri = tris_ref[jnp.minimum(first + k, n_tris - 1)]  # (9,)
-                    p0 = (tri[0], tri[1], tri[2])
-                    e1 = (tri[3] - tri[0], tri[4] - tri[1], tri[5] - tri[2])
-                    e2 = (tri[6] - tri[0], tri[7] - tri[1], tri[8] - tri[2])
+                    ti = jnp.minimum(first + k, n_tris - 1)
+                    trow = tris_ref[pl.ds(ti // TRIS_PER_ROW, 1), :]
+                    tri = _select_record(trow, ti % TRIS_PER_ROW,
+                                         TRIS_PER_ROW, TRI_F)     # (1, 16)
+                    p0 = (tri[0, 0], tri[0, 1], tri[0, 2])
+                    e1 = (tri[0, 3] - p0[0], tri[0, 4] - p0[1], tri[0, 5] - p0[2])
+                    e2 = (tri[0, 6] - p0[0], tri[0, 7] - p0[1], tri[0, 8] - p0[2])
                     # Moller-Trumbore against all lanes (scalar triangle)
                     pv0 = d[1] * e2[2] - d[2] * e2[1]
                     pv1 = d[2] * e2[0] - d[0] * e2[2]
@@ -151,8 +196,8 @@ def _walk_kernel(early_exit: bool, sentinel: int, n_tris: int):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def _walk_tiles(shape_key, nodes, meta, tris, early_exit, cols):
+@partial(jax.jit, static_argnums=(0, 3))
+def _walk_tiles(shape_key, nodes_pk, tris_pk, early_exit, cols):
     """cols = (ox..tmx, act) stacked (G*SUB, LANE) arrays."""
     sentinel, n_tris, interpret = shape_key
     g = cols[0].shape[0] // SUB
@@ -167,14 +212,14 @@ def _walk_tiles(shape_key, nodes, meta, tris, early_exit, cols):
             jax.ShapeDtypeStruct((g * SUB, LANE), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes (whole table)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # node metas (i32)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tris
-            *[ray_spec] * 9,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed node rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed tri rows
+            *[pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)] * 9,
         ],
         out_specs=(ray_spec, ray_spec),
         interpret=interpret,
-    )(nodes, meta, tris, *cols)
+    )(nodes_pk, tris_pk, *cols)
     return out
 
 
@@ -199,8 +244,8 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
     sentinel = int(ds.meta.n_bvh_nodes)  # static per scene
     interpret = jax.default_backend() != "tpu"
     shape_key = (sentinel, int(ds.meta.n_tris), interpret)
-    t, best = _walk_tiles(shape_key, ds.bvh_nodes, ds.bvh_meta_i32,
-                          ds.tri_pack, early_exit, cols)
+    t, best = _walk_tiles(shape_key, ds.bvh_nodes_pk, ds.tri_pack_pk,
+                          early_exit, cols)
     t = t.reshape(-1)[:B]
     best = best.reshape(-1)[:B]
     return t, best
