@@ -127,6 +127,7 @@ class DeviceScene:
     # minor dim to 128, so narrow tables would blow up 16x in VMEM)
     bvh_nodes_pk: jax.Array   # (ceil(N/16), 128) f32, 16 node records/row
     tri_pack_pk: jax.Array    # (ceil(T/8), 128) f32, 8 tri records/row
+    bvh2_rows_pk: jax.Array   # (ceil(M/8), 128) f32, 8 child-pair records/row
     # child-pair rows for stack-based near-first traversal: one row per
     # INTERNAL node = [L.min, L.max, R.min, R.max, bits(metaL), bits(metaR),
     # pad, pad] (16 f32). meta encodes a child: leaf -> (first<<3)|count
@@ -194,7 +195,7 @@ def _child_pair_layout(bvh):
     n_nodes = count.shape[0]
     is_int = count == 0
     if bvh.prim_order.shape[0] == 0:
-        return np.zeros((1, 16), F), -1, 1
+        return np.zeros((8, 16), F), -1, 1
     row_of = np.full(n_nodes, -1, np.int64)
     row_of[np.nonzero(is_int)[0]] = np.arange(int(is_int.sum()))
 
@@ -207,7 +208,7 @@ def _child_pair_layout(bvh):
     if m == 0:
         # single-leaf tree: root itself is a leaf
         root_meta = (int(bvh.left_first[0]) << 3) | int(count[0])
-        return np.zeros((1, 16), F), root_meta, 1
+        return np.zeros((8, 16), F), root_meta, 1
 
     ints = np.nonzero(is_int)[0]
     left = ints + 1
@@ -428,6 +429,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
     bvh_nodes_pk, tri_pack_pk = pack_tables(bvh_nodes, tri_pack)
 
     bvh2_rows, root_meta, bvh2_depth = _child_pair_layout(bvh)
+    bvh2_rows_pk = bvh2_rows.reshape(-1, 8 * 16)  # 8 records of 16 f32
 
     # ---------------- spheres
     n_spheres = len(sph)
@@ -706,6 +708,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh_skip=dev(bvh_skip),
         bvh_nodes=dev(bvh_nodes), tri_pack=dev(tri_pack),
         bvh_nodes_pk=dev(bvh_nodes_pk), tri_pack_pk=dev(tri_pack_pk),
+        bvh2_rows_pk=dev(bvh2_rows_pk),
         bvh2_rows=dev(bvh2_rows),
         sph_center=dev(sph_center), sph_radius=dev(sph_radius),
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),

@@ -422,8 +422,10 @@ def render(
         if bad.any():
             ys, xs = np.nonzero(bad.any(axis=-1))
             log.warning(
-                "%d non-finite radiance pixels (first at x=%d y=%d)",
-                len(ys), xs[0], ys[0],
+                "%d non-finite radiance pixels (first at x=%d y=%d) — "
+                "repro with: tpu_raytracing.cli <scene> pixel %d %d "
+                "(lib.rs:815-854 NaN scan + panic-hook repro workflow)",
+                len(ys), xs[0], ys[0], xs[0], ys[0],
             )
         out.beauty = beauty
 

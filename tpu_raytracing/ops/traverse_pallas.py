@@ -178,7 +178,9 @@ def _walk_kernel(early_exit: bool, sentinel: int, n_tris: int):
                 any_hit & is_leaf, leaf, lambda a: a, (t_best, best)
             )
             if early_exit:
-                done = jnp.all(jnp.where(live0, best >= 0, True))
+                # pure bool algebra: jnp.where over bools lowers to an
+                # unsupported i1 truncation in Mosaic
+                done = jnp.all((best >= 0) | ~live0)
                 node = jnp.where(
                     done, sentinel,
                     jnp.where(any_hit & ~is_leaf, node + 1, skip),
@@ -194,6 +196,216 @@ def _walk_kernel(early_exit: bool, sentinel: int, n_tris: int):
         best_out[:] = best
 
     return kernel
+
+
+PAIR_F = 16                      # f32 per child-pair record
+PAIRS_PER_ROW = LANE // PAIR_F   # 8
+STACK_CAP = 64                   # shared scalar stack bound (>= tree depth)
+
+
+def _pair_kernel(early_exit: bool, root_meta: int, n_tris: int):
+    """v2: child-pair walk with a SHARED scalar stack (SMEM) and
+    majority-vote near-first ordering.
+
+    Both children's boxes live in the parent record, so the tile only ever
+    visits nodes at least one lane hit (missed subtrees are culled at the
+    parent, halving visits vs the skip-link walk), and descending into the
+    tile-majority nearer child first tightens t_best early. Leaf children
+    are intersected immediately at the parent using the fresh per-lane
+    child-box mask. The ordering is shared, so cross-leaf exact-t ties may
+    resolve differently than the fixed-DFS walk — winners still agree
+    everywhere t values differ (the generic case).
+
+    meta encoding: leaf -> (first<<3)|count (count>0); internal -> row<<3;
+    DONE = -1.
+    """
+
+    def kernel(
+        pairs_ref, tris_ref,
+        ox, oy, oz, dx, dy, dz, tmn, tmx, act,
+        t_out, best_out, stack_ref,
+    ):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        inv = tuple(1.0 / c for c in d)
+        t_min = tmn[:]
+        live0 = act[:] > 0
+
+        def slab(rec, base, t_best):
+            t0 = jnp.full((SUB, LANE), -INF)
+            t1 = jnp.full((SUB, LANE), INF)
+            for ax in range(3):
+                a = (rec[0, base + ax] - o[ax]) * inv[ax]
+                b = (rec[0, base + 3 + ax] - o[ax]) * inv[ax]
+                t0 = jnp.maximum(t0, jnp.minimum(a, b))
+                t1 = jnp.minimum(t1, jnp.maximum(a, b))
+            hit = (t0 <= t1) & (t1 >= t_min) & (t0 <= t_best) & live0
+            return hit, t0
+
+        def leaf_phase(meta, hit, t_best, best):
+            count = meta & 7
+            first = meta >> 3
+            cur_t = jnp.full((SUB, LANE), INF)
+            cur_k = jnp.zeros((SUB, LANE), jnp.int32)
+            for k in range(MAX_LEAF_SIZE):
+                ti = jnp.minimum(first + k, n_tris - 1)
+                trow = tris_ref[pl.ds(ti // TRIS_PER_ROW, 1), :]
+                tri = _select_record(trow, ti % TRIS_PER_ROW,
+                                     TRIS_PER_ROW, TRI_F)
+                p0 = (tri[0, 0], tri[0, 1], tri[0, 2])
+                e1 = (tri[0, 3] - p0[0], tri[0, 4] - p0[1], tri[0, 5] - p0[2])
+                e2 = (tri[0, 6] - p0[0], tri[0, 7] - p0[1], tri[0, 8] - p0[2])
+                pv0 = d[1] * e2[2] - d[2] * e2[1]
+                pv1 = d[2] * e2[0] - d[0] * e2[2]
+                pv2 = d[0] * e2[1] - d[1] * e2[0]
+                den = pv0 * e1[0] + pv1 * e1[1] + pv2 * e1[2]
+                sden = jnp.where(den == 0.0, 1.0, den)
+                tv = (o[0] - p0[0], o[1] - p0[1], o[2] - p0[2])
+                u = (pv0 * tv[0] + pv1 * tv[1] + pv2 * tv[2]) / sden
+                qv0 = tv[1] * e1[2] - tv[2] * e1[1]
+                qv1 = tv[2] * e1[0] - tv[0] * e1[2]
+                qv2 = tv[0] * e1[1] - tv[1] * e1[0]
+                v = (qv0 * d[0] + qv1 * d[1] + qv2 * d[2]) / sden
+                t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
+                ok = (
+                    (den != 0.0)
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= t_min) & (t <= t_best)
+                    & hit
+                    & (k < count)
+                )
+                take = ok & (t < cur_t)
+                cur_t = jnp.where(take, t, cur_t)
+                cur_k = jnp.where(take, k, cur_k)
+            leaf_hit = cur_t < INF
+            t_best = jnp.where(leaf_hit, cur_t, t_best)
+            best = jnp.where(leaf_hit, first + cur_k, best)
+            return t_best, best
+
+        t_best0 = tmx[:]
+        best0 = jnp.full((SUB, LANE), -1, jnp.int32)
+
+        if root_meta < 0:
+            t_out[:] = t_best0
+            best_out[:] = best0
+            return
+        if root_meta & 7:
+            # degenerate single-leaf tree: every live lane tests the leaf
+            t_best, best = leaf_phase(
+                jnp.int32(root_meta), live0, t_best0, best0
+            )
+            t_out[:] = t_best
+            best_out[:] = best
+            return
+
+        DONE = jnp.int32(-1)
+
+        def cond(c):
+            return c[0] != DONE
+
+        def body(c):
+            cur, sp, t_best, best = c
+            row = pairs_ref[pl.ds((cur >> 3) // PAIRS_PER_ROW, 1), :]
+            rec = _select_record(row, (cur >> 3) % PAIRS_PER_ROW,
+                                 PAIRS_PER_ROW, PAIR_F)  # (1, 16)
+            ints = jax.lax.bitcast_convert_type(rec, jnp.int32)
+            meta_l = ints[0, 12]
+            meta_r = ints[0, 13]
+
+            if early_exit:
+                want = live0 & (best == -1)
+            else:
+                want = live0
+            hit_l, t0l = slab(rec, 0, t_best)
+            hit_r, t0r = slab(rec, 6, t_best)
+            hit_l = hit_l & want
+            hit_r = hit_r & want
+
+            leaf_l = (meta_l & 7) > 0
+            leaf_r = (meta_r & 7) > 0
+            any_l = jnp.any(hit_l)
+            any_r = jnp.any(hit_r)
+
+            # leaf children intersect immediately with their fresh mask
+            t_best, best = jax.lax.cond(
+                any_l & leaf_l,
+                lambda a: leaf_phase(meta_l, hit_l, *a),
+                lambda a: a,
+                (t_best, best),
+            )
+            t_best, best = jax.lax.cond(
+                any_r & leaf_r,
+                lambda a: leaf_phase(meta_r, hit_r, *a),
+                lambda a: a,
+                (t_best, best),
+            )
+
+            go_l = any_l & ~leaf_l
+            go_r = any_r & ~leaf_r
+            both = go_l & go_r
+            # majority vote: which internal child is nearer for more lanes?
+            votes_l = jnp.sum(
+                ((t0l <= t0r) & hit_l & hit_r).astype(jnp.int32)
+            )
+            votes = jnp.sum((hit_l & hit_r).astype(jnp.int32))
+            l_near = votes_l * 2 >= votes
+            near = jnp.where(l_near, meta_l, meta_r)
+            far = jnp.where(l_near, meta_r, meta_l)
+
+            # push far on the shared stack when both internal children hit
+            @pl.when(both)
+            def _():
+                stack_ref[sp] = far
+
+            sp = jnp.where(both, sp + 1, sp)
+            nxt = jnp.where(
+                both, near,
+                jnp.where(go_l, meta_l, jnp.where(go_r, meta_r, DONE)),
+            )
+            # pop when no internal child to visit
+            need_pop = nxt == DONE
+            can_pop = sp > 0
+            popped = stack_ref[jnp.maximum(sp - 1, 0)]
+            cur = jnp.where(need_pop, jnp.where(can_pop, popped, DONE), nxt)
+            sp = jnp.where(need_pop & can_pop, sp - 1, sp)
+            if early_exit:
+                done = jnp.all((best >= 0) | ~live0)
+                cur = jnp.where(done, DONE, cur)
+            return cur, sp, t_best, best
+
+        _, _, t_best, best = jax.lax.while_loop(
+            cond, body, (jnp.int32(root_meta), jnp.int32(0), t_best0, best0)
+        )
+        t_out[:] = t_best
+        best_out[:] = best
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _pair_tiles(shape_key, pairs_pk, tris_pk, early_exit, cols):
+    root_meta, n_tris, interpret = shape_key
+    g = cols[0].shape[0] // SUB
+    kernel = _pair_kernel(early_exit, root_meta, n_tris)
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        out_shape=(
+            jax.ShapeDtypeStruct((g * SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g * SUB, LANE), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)] * 9,
+        ],
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
+        interpret=interpret,
+    )(pairs_pk, tris_pk, *cols)
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -241,11 +453,22 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
         col(t_min, 0.0), col(t_max, -1.0),
         col(active.astype(jnp.int32), 0),
     )
-    sentinel = int(ds.meta.n_bvh_nodes)  # static per scene
     interpret = jax.default_backend() != "tpu"
-    shape_key = (sentinel, int(ds.meta.n_tris), interpret)
-    t, best = _walk_tiles(shape_key, ds.bvh_nodes_pk, ds.tri_pack_pk,
-                          early_exit, cols)
+    import os as _o
+
+    if _o.environ.get("TPU_RT_PALLAS_KERNEL", "pair") == "pair":
+        if ds.meta.bvh2_depth > STACK_CAP:
+            raise ValueError(
+                f"BVH depth {ds.meta.bvh2_depth} exceeds stack cap {STACK_CAP}"
+            )
+        shape_key = (int(ds.meta.root_meta), int(ds.meta.n_tris), interpret)
+        t, best = _pair_tiles(shape_key, ds.bvh2_rows_pk, ds.tri_pack_pk,
+                              early_exit, cols)
+    else:
+        sentinel = int(ds.meta.n_bvh_nodes)  # static per scene
+        shape_key = (sentinel, int(ds.meta.n_tris), interpret)
+        t, best = _walk_tiles(shape_key, ds.bvh_nodes_pk, ds.tri_pack_pk,
+                              early_exit, cols)
     t = t.reshape(-1)[:B]
     best = best.reshape(-1)[:B]
     return t, best
