@@ -238,10 +238,18 @@ def intersect_scene(
         from .traverse_pallas import intersect_tris_pallas
 
         act = active & (best < 0) if early_exit else active
+        # coherence sort: lanes are independent, so reordering only shrinks
+        # each lockstep tile's node-set union — results are bit-identical
+        key = ray_sort_key(ds, origin, direction)
+        order = jnp.argsort(key)
         pt, pbest = intersect_tris_pallas(
-            ds, origin, direction, t_min, t_best, act,
-            early_exit=early_exit,
+            ds, origin[order], direction[order], t_min[order],
+            t_best[order], act[order], early_exit=early_exit,
         )
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(B, dtype=order.dtype)
+        )
+        pt, pbest = pt[inv], pbest[inv]
         tri_hit = pbest >= 0
         t_best = jnp.where(tri_hit, pt, t_best)
         best = jnp.where(tri_hit, pbest, best)
@@ -338,6 +346,39 @@ def intersect_scene(
     )
     t = jnp.where(best >= 0, t_best, INF)
     return t, best
+
+
+def _interleave3(v):
+    """Spread the low 7 bits of v 3 apart (canonical part-1-by-2)."""
+    v = v & 0x7F
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def ray_sort_key(ds: DeviceScene, origin, direction):
+    """Coherence key: 3 direction-octant bits + 21-bit origin Morton code.
+
+    Rays sharing a key start near each other and point the same way, so
+    lockstep tiles of sorted rays visit small node-set unions.
+    """
+    c = ds.bounds_center
+    r = jnp.maximum(ds.bounds_radius, 1e-6)
+    q = jnp.clip((origin - c) / (2.0 * r) + 0.5, 0.0, 1.0)
+    qi = (q * 127.0).astype(jnp.int32)
+    morton = (
+        _interleave3(qi[:, 0])
+        | (_interleave3(qi[:, 1]) << 1)
+        | (_interleave3(qi[:, 2]) << 2)
+    )
+    octant = (
+        (direction[:, 0] < 0).astype(jnp.int32)
+        | ((direction[:, 1] < 0).astype(jnp.int32) << 1)
+        | ((direction[:, 2] < 0).astype(jnp.int32) << 2)
+    )
+    return (octant << 21) | morton
 
 
 def hit_details(
