@@ -226,6 +226,12 @@ def _child_pair_layout(bvh):
     rows[:, 0:3] = bvh.node_min[left]
     rows[:, 3:6] = bvh.node_max[left]
     rows[:, 6:9] = bvh.node_min[right]
+    # slot 14: split axis (argmax child-center separation) — drives
+    # static near-first ordering in the Pallas walk
+    cl = (bvh.node_min[left] + bvh.node_max[left]) * 0.5
+    cr = (bvh.node_min[right] + bvh.node_max[right]) * 0.5
+    axis = np.argmax(np.abs(cr - cl), axis=1).astype(np.int32)
+    rows[:, 14] = axis.view(F)
     rows[:, 9:12] = bvh.node_max[right]
     rows[:, 12] = child_metas(left).view(F)
     rows[:, 13] = child_metas(right).view(F)

@@ -301,6 +301,17 @@ def _pair_kernel(early_exit: bool, root_meta: int, n_tris: int):
 
         DONE = jnp.int32(-1)
 
+        # tile majority direction sign per axis, computed ONCE: near-first
+        # child order per node is then a scalar bit test on the stored
+        # split axis (no per-visit cross-lane reductions)
+        half = jnp.sum(live0.astype(jnp.int32))
+        negbits = jnp.int32(0)
+        for ax in range(3):
+            nneg = jnp.sum(((d[ax] < 0.0) & live0).astype(jnp.int32))
+            negbits = negbits | (
+                (2 * nneg > half).astype(jnp.int32) << ax
+            )
+
         def cond(c):
             return c[0] != DONE
 
@@ -312,6 +323,7 @@ def _pair_kernel(early_exit: bool, root_meta: int, n_tris: int):
             ints = jax.lax.bitcast_convert_type(rec, jnp.int32)
             meta_l = ints[0, 12]
             meta_r = ints[0, 13]
+            axis = ints[0, 14]
 
             if early_exit:
                 want = live0 & (best == -1)
@@ -344,12 +356,10 @@ def _pair_kernel(early_exit: bool, root_meta: int, n_tris: int):
             go_l = any_l & ~leaf_l
             go_r = any_r & ~leaf_r
             both = go_l & go_r
-            # majority vote: which internal child is nearer for more lanes?
-            votes_l = jnp.sum(
-                ((t0l <= t0r) & hit_l & hit_r).astype(jnp.int32)
-            )
-            votes = jnp.sum((hit_l & hit_r).astype(jnp.int32))
-            l_near = votes_l * 2 >= votes
+            # static near-first: left child is the lower-coordinate side of
+            # the split axis, so it is nearer iff the tile-majority
+            # direction along that axis is positive
+            l_near = ((negbits >> axis) & 1) == 0
             near = jnp.where(l_near, meta_l, meta_r)
             far = jnp.where(l_near, meta_r, meta_l)
 
