@@ -90,6 +90,14 @@ def _add_common(p: argparse.ArgumentParser, suppress: bool) -> None:
         help="Accumulate spp in chunks, checkpointing to FILE (resumable)",
     )
     p.add_argument(
+        "--multichip", action="store_true", default=d(False),
+        help="Shard the beauty render over all devices ((tiles, spp) mesh)",
+    )
+    p.add_argument(
+        "--spp-shards", type=int, default=d(1),
+        help="spp axis size of the device mesh with --multichip",
+    )
+    p.add_argument(
         "--spp-chunk", type=int, default=d(32),
         help="Samples per accumulation chunk when --checkpoint is used",
     )
@@ -339,6 +347,21 @@ def main(argv=None) -> int:
     from .integrator.render import render
 
     def do_render():
+        if getattr(args, "multichip", False):
+            from .parallel import render_distributed
+
+            out = render_distributed(
+                scene, settings, n_spp_shards=args.spp_shards
+            )
+            if settings.outputs & ~AovFlags.BEAUTY:
+                aov_only = render(
+                    scene,
+                    _replace_outputs(settings, settings.outputs & ~AovFlags.BEAUTY),
+                    chunk_pixels=args.chunk_pixels,
+                )
+                for f in ("normals", "albedo", "uv", "mip_level"):
+                    setattr(out, f, getattr(aov_only, f))
+            return out
         if args.checkpoint is not None:
             from .integrator.accumulate import render_accumulated
             from .settings import AovFlags as _A

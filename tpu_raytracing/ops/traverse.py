@@ -239,8 +239,11 @@ def intersect_scene(
 
         act = active & (best < 0) if early_exit else active
         # coherence sort: lanes are independent, so reordering only shrinks
-        # each lockstep tile's node-set union — results are bit-identical
+        # each lockstep tile's node-set union — results are bit-identical.
+        # dead lanes sort last: whole-dead tiles terminate immediately,
+        # live tiles stay dense (late bounces have few survivors)
         key = ray_sort_key(ds, origin, direction)
+        key = key | ((~act).astype(jnp.int32) << 25)
         order = jnp.argsort(key)
         pt, pbest = intersect_tris_pallas(
             ds, origin[order], direction[order], t_min[order],
