@@ -41,7 +41,9 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     platform = jax.default_backend()
-    spp = int(os.environ.get("BENCH_SPP", "64" if platform == "tpu" else "2"))
+    # default spp sized so warmup+timed renders stay within a driver-friendly
+    # wall-clock at current chip throughput; BENCH_SPP overrides
+    spp = int(os.environ.get("BENCH_SPP", "8" if platform == "tpu" else "2"))
 
     from tpu_raytracing.device import compile_scene
     from tpu_raytracing.integrator.render import render
