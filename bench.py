@@ -58,8 +58,7 @@ def main() -> None:
     )
 
     ds = compile_scene(scene)
-    # warmup: compile + one pass over a small chunk
-    chunk = 1 << 16 if platform == "tpu" else 1 << 13
+    chunk = None if platform == "tpu" else 1 << 13  # platform default on TPU
     t0 = time.perf_counter()
     out = render(ds, settings, chunk_pixels=chunk)
     wall = time.perf_counter() - t0

@@ -57,7 +57,7 @@ def _default_chunk() -> int:
         platform = jax.default_backend()
     except Exception:
         platform = "cpu"
-    return 1 << 16 if platform == "tpu" else 1 << 13
+    return 1 << 17 if platform == "tpu" else 1 << 13
 
 
 DEFAULT_CHUNK = None  # resolved lazily per platform
@@ -340,12 +340,19 @@ def _pixel_grid(width: int, height: int):
 
 
 def _run_chunked(fn, px, py, n_outputs, chunk=None):
-    """Dispatch fn over fixed-size pixel chunks (padded; static shapes)."""
+    """Dispatch fn over fixed-size pixel chunks (padded; static shapes).
+
+    All chunk dispatches are issued asynchronously (device arrays are only
+    fetched after the loop) so host dispatch latency overlaps device
+    execution — per-chunk synchronization costs ~30% of wall on the
+    remote-TPU path.
+    """
     if chunk is None:
         chunk = _default_chunk()
     n = px.shape[0]
     chunk = min(chunk, n)
     outs = None
+    sizes = []
     for start in range(0, n, chunk):
         cpx = px[start:start + chunk]
         cpy = py[start:start + chunk]
@@ -356,13 +363,18 @@ def _run_chunked(fn, px, py, n_outputs, chunk=None):
         res = fn(jnp.asarray(cpx), jnp.asarray(cpy))
         if not isinstance(res, tuple):
             res = (res,)
-        res = [np.asarray(r)[: min(chunk, n - start)] for r in res]
+        sizes.append(min(chunk, n - start))
         if outs is None:
             outs = [[r] for r in res]
         else:
             for o, r in zip(outs, res):
                 o.append(r)
-    return [np.concatenate(o, axis=0) for o in outs]
+    return [
+        np.concatenate(
+            [np.asarray(r)[:sz] for r, sz in zip(o, sizes)], axis=0
+        )
+        for o in outs
+    ]
 
 
 def render(
@@ -402,19 +414,19 @@ def render(
 
     if settings.outputs & AovFlags.BEAUTY:
         t0 = time.perf_counter()
-        n_rays = [0]
+        ray_counts = []
 
         def beauty_fn(a, b):
             r, n = render_beauty_chunk(ds, cfg, st, a, b)
-            n_rays[0] += int(n)
+            ray_counts.append(n)  # device scalar; fetched after the loop
             return r
 
         (beauty,) = _run_chunked(beauty_fn, px, py, 1, chunk_pixels)
         dt = time.perf_counter() - t0
-        out.rays_traced = n_rays[0]
+        out.rays_traced = int(sum(int(n) for n in ray_counts))
         log.info(
             "beauty pass took %.3fs (%d rays, %.1f Mrays/s)",
-            dt, n_rays[0], n_rays[0] / dt / 1e6,
+            dt, out.rays_traced, out.rays_traced / dt / 1e6,
         )
         beauty = beauty[unmorton].reshape(height, width, 3)
         # NaN/Inf scan (lib.rs:815-854)
