@@ -93,6 +93,9 @@ class SceneMeta:
     bvh2_depth: int = 1
     # unpadded BVH node count == skip-link walk sentinel
     n_bvh_nodes: int = 0
+    # quad (BVH4) walk: root meta + stack bound
+    root_meta4: int = -1
+    bvh4_stack: int = 4
 
 
 @jax.tree_util.register_dataclass
@@ -128,6 +131,7 @@ class DeviceScene:
     bvh_nodes_pk: jax.Array   # (ceil(N/16), 128) f32, 16 node records/row
     tri_pack_pk: jax.Array    # (ceil(T/8), 128) f32, 8 tri records/row
     bvh2_rows_pk: jax.Array   # (ceil(M/8), 128) f32, 8 child-pair records/row
+    bvh4_recs_pk: jax.Array   # (ceil(K/4), 128) f32, 4 quad records/row
     # child-pair rows for stack-based near-first traversal: one row per
     # INTERNAL node = [L.min, L.max, R.min, R.max, bits(metaL), bits(metaR),
     # pad, pad] (16 f32). meta encodes a child: leaf -> (first<<3)|count
@@ -248,6 +252,101 @@ def _child_pair_layout(bvh):
     maxd = int(depth.max()) + 1
     rows = _pad_rows(rows, _round_up(m, 8))
     return rows, root_meta, maxd
+
+
+def _bvh4_layout(bvh):
+    """Collapse the BVH2 into 4-wide records for the Pallas quad walk.
+
+    Each BVH4 record covers two BVH2 levels: its children are the 2-4
+    grandchildren (or leaf children) of a BVH2 internal node. Record = 32
+    f32: 4 child AABBs (24), 4 child metas (leaf -> (first<<3)|count,
+    internal -> bvh4_row<<3, -1 -> absent), packed order axes, pad.
+    Returns (records (K, 32) f32, root_meta4, stack_bound).
+    """
+    count = bvh.count
+    if bvh.prim_order.shape[0] == 0:
+        return np.zeros((4, 32), F), -1, 4
+    if count[0] > 0:  # single-leaf tree
+        root_meta = (int(bvh.left_first[0]) << 3) | int(count[0])
+        return np.zeros((4, 32), F), root_meta, 4
+
+    left_of = lambda i: i + 1  # noqa: E731
+    right_of = lambda i: int(bvh.skip[i + 1])  # noqa: E731
+
+    def split_axis(i):
+        l, r = left_of(i), right_of(i)
+        cl = (bvh.node_min[l] + bvh.node_max[l]) * 0.5
+        cr = (bvh.node_min[r] + bvh.node_max[r]) * 0.5
+        return int(np.argmax(np.abs(cr - cl)))
+
+    # BFS over BVH2 internals that become BVH4 records
+    row_of = {}
+    order = []
+
+    def visit(i):
+        row_of[i] = len(order)
+        order.append(i)
+
+    visit(0)
+    qi = 0
+    children_of = {}
+    while qi < len(order):
+        n = order[qi]
+        qi += 1
+        kids = []  # (bvh2 node id, is_leaf)
+        for c in (left_of(n), right_of(n)):
+            if count[c] > 0:
+                kids.append((c, True))
+            else:
+                kids.append((left_of(c), count[left_of(c)] > 0))
+                kids.append((right_of(c), count[right_of(c)] > 0))
+        children_of[n] = kids
+        for c, is_leaf in kids:
+            if not is_leaf and c not in row_of:
+                visit(c)
+
+    k = len(order)
+    recs = np.zeros((k, 32), F)
+    metas = np.full((k, 4), -1, np.int32)
+    axes = np.zeros(k, np.int32)
+    for r, n in enumerate(order):
+        kids = children_of[n]
+        # order axes: top split + per-half splits (identity when a half
+        # was not collapsed)
+        a_top = split_axis(n)
+        l, rr = left_of(n), right_of(n)
+        a_l = split_axis(l) if count[l] == 0 else a_top
+        a_r = split_axis(rr) if count[rr] == 0 else a_top
+        nleft = 2 if count[l] == 0 else 1
+        axes[r] = (
+            a_top | (a_l << 2) | (a_r << 4) | (len(kids) << 6) | (nleft << 9)
+        )
+        for j, (c, is_leaf) in enumerate(kids):
+            recs[r, j * 6 : j * 6 + 3] = bvh.node_min[c]
+            recs[r, j * 6 + 3 : j * 6 + 6] = bvh.node_max[c]
+            if is_leaf:
+                metas[r, j] = (int(bvh.left_first[c]) << 3) | int(count[c])
+            else:
+                metas[r, j] = row_of[c] << 3
+        # when the left/right half was NOT collapsed (child was a leaf),
+        # kids has fewer than 4 entries; j indexes stay compact and the
+        # in-kernel order logic uses the child count
+    recs[:, 24:28] = metas.view(F)
+    recs[:, 28] = axes.view(F)
+
+    # stack bound: ≤3 pushes per record level; record depth ≈ ceil(d2/2)
+    d2 = 1
+    depth = {0: 0}
+    for n in order:
+        for c, is_leaf in children_of[n]:
+            if not is_leaf:
+                depth[c] = depth[n] + 1
+                d2 = max(d2, depth[c] + 1)
+    bound = 3 * (d2 + 2)
+    pad = -k % 4
+    if pad:
+        recs = np.concatenate([recs, np.zeros((pad, 32), F)])
+    return recs, 0, bound
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -436,6 +535,8 @@ def compile_scene(scene: Scene) -> DeviceScene:
 
     bvh2_rows, root_meta, bvh2_depth = _child_pair_layout(bvh)
     bvh2_rows_pk = bvh2_rows.reshape(-1, 8 * 16)  # 8 records of 16 f32
+    bvh4_recs, root_meta4, bvh4_stack = _bvh4_layout(bvh)
+    bvh4_recs_pk = bvh4_recs.reshape(-1, 4 * 32)  # 4 records of 32 f32
 
     # ---------------- spheres
     n_spheres = len(sph)
@@ -700,6 +801,8 @@ def compile_scene(scene: Scene) -> DeviceScene:
         root_meta=int(root_meta),
         bvh2_depth=int(bvh2_depth),
         n_bvh_nodes=int(n_nodes),
+        root_meta4=int(root_meta4),
+        bvh4_stack=int(bvh4_stack),
     )
 
     dev = lambda a: jnp.asarray(a)  # noqa: E731
@@ -714,7 +817,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh_skip=dev(bvh_skip),
         bvh_nodes=dev(bvh_nodes), tri_pack=dev(tri_pack),
         bvh_nodes_pk=dev(bvh_nodes_pk), tri_pack_pk=dev(tri_pack_pk),
-        bvh2_rows_pk=dev(bvh2_rows_pk),
+        bvh2_rows_pk=dev(bvh2_rows_pk), bvh4_recs_pk=dev(bvh4_recs_pk),
         bvh2_rows=dev(bvh2_rows),
         sph_center=dev(sph_center), sph_radius=dev(sph_radius),
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),

@@ -393,6 +393,253 @@ def _pair_kernel(early_exit: bool, root_meta: int, n_tris: int):
     return kernel
 
 
+QUAD_F = 32                      # f32 per quad record
+QUADS_PER_ROW = LANE // QUAD_F   # 4
+
+
+def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
+    """v3: BVH4 walk — each record holds up to 4 child boxes (two collapsed
+    BVH2 levels), so iterations halve vs the pair walk. Hit children are
+    visited in tile-majority near-first order (per-half split axes stored
+    in the record); leaf children intersect immediately at the parent."""
+
+    def kernel(
+        quads_ref, tris_ref,
+        ox, oy, oz, dx, dy, dz, tmn, tmx, act,
+        t_out, best_out, stack_ref,
+    ):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        inv = tuple(1.0 / c for c in d)
+        t_min = tmn[:]
+        live0 = act[:] > 0
+
+        def leaf_phase(meta, hit, t_best, best):
+            count = meta & 7
+            first = meta >> 3
+            cur_t = jnp.full((SUB, LANE), INF)
+            cur_k = jnp.zeros((SUB, LANE), jnp.int32)
+            for k in range(MAX_LEAF_SIZE):
+                ti = jnp.minimum(first + k, n_tris - 1)
+                trow = tris_ref[pl.ds(ti // TRIS_PER_ROW, 1), :]
+                tri = _select_record(trow, ti % TRIS_PER_ROW,
+                                     TRIS_PER_ROW, TRI_F)
+                p0 = (tri[0, 0], tri[0, 1], tri[0, 2])
+                e1 = (tri[0, 3] - p0[0], tri[0, 4] - p0[1], tri[0, 5] - p0[2])
+                e2 = (tri[0, 6] - p0[0], tri[0, 7] - p0[1], tri[0, 8] - p0[2])
+                pv0 = d[1] * e2[2] - d[2] * e2[1]
+                pv1 = d[2] * e2[0] - d[0] * e2[2]
+                pv2 = d[0] * e2[1] - d[1] * e2[0]
+                den = pv0 * e1[0] + pv1 * e1[1] + pv2 * e1[2]
+                sden = jnp.where(den == 0.0, 1.0, den)
+                tv = (o[0] - p0[0], o[1] - p0[1], o[2] - p0[2])
+                u = (pv0 * tv[0] + pv1 * tv[1] + pv2 * tv[2]) / sden
+                qv0 = tv[1] * e1[2] - tv[2] * e1[1]
+                qv1 = tv[2] * e1[0] - tv[0] * e1[2]
+                qv2 = tv[0] * e1[1] - tv[1] * e1[0]
+                v = (qv0 * d[0] + qv1 * d[1] + qv2 * d[2]) / sden
+                t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
+                ok = (
+                    (den != 0.0)
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= t_min) & (t <= t_best)
+                    & hit
+                    & (k < count)
+                )
+                take = ok & (t < cur_t)
+                cur_t = jnp.where(take, t, cur_t)
+                cur_k = jnp.where(take, k, cur_k)
+            leaf_hit = cur_t < INF
+            t_best = jnp.where(leaf_hit, cur_t, t_best)
+            best = jnp.where(leaf_hit, first + cur_k, best)
+            return t_best, best
+
+        t_best0 = tmx[:]
+        best0 = jnp.full((SUB, LANE), -1, jnp.int32)
+
+        if root_meta < 0:
+            t_out[:] = t_best0
+            best_out[:] = best0
+            return
+        if root_meta & 7:
+            t_best, best = leaf_phase(
+                jnp.int32(root_meta), live0, t_best0, best0
+            )
+            t_out[:] = t_best
+            best_out[:] = best
+            return
+
+        DONE = jnp.int32(-1)
+        half = jnp.sum(live0.astype(jnp.int32))
+        negbits = jnp.int32(0)
+        for ax in range(3):
+            nneg = jnp.sum(((d[ax] < 0.0) & live0).astype(jnp.int32))
+            negbits = negbits | ((2 * nneg > half).astype(jnp.int32) << ax)
+
+        def cond(c):
+            return c[0] != DONE
+
+        def body(c):
+            cur, sp, t_best, best = c
+            nid = cur >> 3
+            row = quads_ref[pl.ds(nid // QUADS_PER_ROW, 1), :]
+            rec = _select_record(row, nid % QUADS_PER_ROW,
+                                 QUADS_PER_ROW, QUAD_F)  # (1, 32)
+            ints = jax.lax.bitcast_convert_type(rec, jnp.int32)
+            metas = [ints[0, 24 + j] for j in range(4)]
+            axes = ints[0, 28]
+            a_top = axes & 3
+            a_l = (axes >> 2) & 3
+            a_r = (axes >> 4) & 3
+            nkids = (axes >> 6) & 7
+            nleft = (axes >> 9) & 3
+
+            if early_exit:
+                want = live0 & (best == -1)
+            else:
+                want = live0
+
+            hits = []
+            for j in range(4):
+                t0 = jnp.full((SUB, LANE), -INF)
+                t1 = jnp.full((SUB, LANE), INF)
+                for ax in range(3):
+                    a = (rec[0, j * 6 + ax] - o[ax]) * inv[ax]
+                    b = (rec[0, j * 6 + 3 + ax] - o[ax]) * inv[ax]
+                    t0 = jnp.maximum(t0, jnp.minimum(a, b))
+                    t1 = jnp.minimum(t1, jnp.maximum(a, b))
+                hits.append(
+                    (t0 <= t1) & (t1 >= t_min) & (t0 <= t_best) & want
+                )
+            # fused any-reductions: 2 packed sums for 4 children
+            s01 = jnp.sum(
+                hits[0].astype(jnp.int32) + (hits[1].astype(jnp.int32) << 16)
+            )
+            s23 = jnp.sum(
+                hits[2].astype(jnp.int32) + (hits[3].astype(jnp.int32) << 16)
+            )
+            anys = [
+                (s01 & 0xFFFF) > 0, (s01 >> 16) > 0,
+                (s23 & 0xFFFF) > 0, (s23 >> 16) > 0,
+            ]
+            # absent slots never hit (box is all-zero but mask anyway)
+            slot_iota = [jnp.int32(j) for j in range(4)]
+            anys = [anys[j] & (slot_iota[j] < nkids) for j in range(4)]
+
+            # tile-majority near-first order of the (up to) 4 slots
+            sgn_top = (negbits >> a_top) & 1
+            sgn_l = (negbits >> a_l) & 1
+            sgn_r = (negbits >> a_r) & 1
+            two_l = nleft == 2
+            two_r = (nkids - nleft) == 2
+            # left half slots: [0] or [0,1] ordered by sgn_l
+            l0 = jnp.where(two_l & (sgn_l == 1), 1, 0)
+            l1 = jnp.where(two_l, 1 - l0, -1)
+            rb = nleft
+            r0 = rb + jnp.where(two_r & (sgn_r == 1), 1, 0)
+            r1 = jnp.where(two_r, rb + (1 - (r0 - rb)), -1)
+            # halves ordered by sgn_top
+            o0 = jnp.where(sgn_top == 0, l0, r0)
+            o1 = jnp.where(sgn_top == 0, l1, r1)
+            o2 = jnp.where(sgn_top == 0, r0, l0)
+            o3 = jnp.where(sgn_top == 0, r1, l1)
+
+            def pick_meta(s):
+                m = metas[0]
+                for j in range(1, 4):
+                    m = jnp.where(s == j, metas[j], m)
+                return jnp.where(s < 0, DONE, m)
+
+            def pick_any(s):
+                a = anys[0]
+                for j in range(1, 4):
+                    a = jnp.where(s == j, anys[j], a)
+                return jnp.where(s < 0, False, a)
+
+            def pick_hit(s):
+                h = hits[0]
+                for j in range(1, 4):
+                    h = jnp.where(s == j, hits[j], h)
+                return h
+
+            # process ordered slots near-to-far: leaves intersect now;
+            # internal hits: first becomes cur, later ones pushed in
+            # reverse (so nearest is popped first)
+            nxt = DONE
+            pending = []  # (meta, take) for internal hits in near order
+            for s in (o0, o1, o2, o3):
+                m = pick_meta(s)
+                a = pick_any(s)
+                is_leaf = (m & 7) > 0
+                do_leaf = a & is_leaf & (m != DONE)
+
+                def leaf_run(args, s=s, m=m):
+                    tb, bs = args
+                    return leaf_phase(m, pick_hit(s), tb, bs)
+
+                t_best, best = jax.lax.cond(
+                    do_leaf, leaf_run, lambda args: args, (t_best, best)
+                )
+                go = a & ~is_leaf & (m != DONE)
+                pending.append((m, go))
+            # nearest internal hit = cur; push the rest far-to-near
+            for m, go in reversed(pending):
+                later = nxt != DONE
+
+                @pl.when(go & later)
+                def _(m=m):
+                    # nxt (nearer candidates come later in this loop) —
+                    # push the current farther candidate
+                    stack_ref[sp] = nxt
+
+                sp = jnp.where(go & later, sp + 1, sp)
+                nxt = jnp.where(go, m, nxt)
+
+            need = nxt == DONE
+            can = sp > 0
+            popped = stack_ref[jnp.maximum(sp - 1, 0)]
+            cur = jnp.where(need, jnp.where(can, popped, DONE), nxt)
+            sp = jnp.where(need & can, sp - 1, sp)
+            if early_exit:
+                done = jnp.all((best >= 0) | ~live0)
+                cur = jnp.where(done, DONE, cur)
+            return cur, sp, t_best, best
+
+        _, _, t_best, best = jax.lax.while_loop(
+            cond, body, (jnp.int32(root_meta), jnp.int32(0), t_best0, best0)
+        )
+        t_out[:] = t_best
+        best_out[:] = best
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _quad_tiles(shape_key, quads_pk, tris_pk, early_exit, cols):
+    root_meta, n_tris, interpret = shape_key
+    g = cols[0].shape[0] // SUB
+    kernel = _quad_kernel(early_exit, root_meta, n_tris)
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        out_shape=(
+            jax.ShapeDtypeStruct((g * SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g * SUB, LANE), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)] * 9,
+        ],
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
+        interpret=interpret,
+    )(quads_pk, tris_pk, *cols)
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def _pair_tiles(shape_key, pairs_pk, tris_pk, early_exit, cols):
     root_meta, n_tris, interpret = shape_key
@@ -466,7 +713,16 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
     interpret = jax.default_backend() != "tpu"
     import os as _o
 
-    if _o.environ.get("TPU_RT_PALLAS_KERNEL", "pair") == "pair":
+    kind = _o.environ.get("TPU_RT_PALLAS_KERNEL", "quad")
+    if kind == "quad":
+        if ds.meta.bvh4_stack > STACK_CAP:
+            raise ValueError(
+                f"BVH4 stack bound {ds.meta.bvh4_stack} exceeds {STACK_CAP}"
+            )
+        shape_key = (int(ds.meta.root_meta4), int(ds.meta.n_tris), interpret)
+        t, best = _quad_tiles(shape_key, ds.bvh4_recs_pk, ds.tri_pack_pk,
+                              early_exit, cols)
+    elif kind == "pair":
         if ds.meta.bvh2_depth > STACK_CAP:
             raise ValueError(
                 f"BVH depth {ds.meta.bvh2_depth} exceeds stack cap {STACK_CAP}"
