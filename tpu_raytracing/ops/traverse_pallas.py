@@ -519,13 +519,18 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
             s23 = jnp.sum(
                 hits[2].astype(jnp.int32) + (hits[3].astype(jnp.int32) << 16)
             )
+            # keep these as i32 0/1: Mosaic cannot select between scalar
+            # bools (arith.select on i1 fails to legalize)
             anys = [
-                (s01 & 0xFFFF) > 0, (s01 >> 16) > 0,
-                (s23 & 0xFFFF) > 0, (s23 >> 16) > 0,
+                ((s01 & 0xFFFF) > 0).astype(jnp.int32),
+                ((s01 >> 16) > 0).astype(jnp.int32),
+                ((s23 & 0xFFFF) > 0).astype(jnp.int32),
+                ((s23 >> 16) > 0).astype(jnp.int32),
             ]
-            # absent slots never hit (box is all-zero but mask anyway)
-            slot_iota = [jnp.int32(j) for j in range(4)]
-            anys = [anys[j] & (slot_iota[j] < nkids) for j in range(4)]
+            anys = [
+                anys[j] * (jnp.int32(j) < nkids).astype(jnp.int32)
+                for j in range(4)
+            ]
 
             # tile-majority near-first order of the (up to) 4 slots
             sgn_top = (negbits >> a_top) & 1
@@ -555,13 +560,14 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
                 a = anys[0]
                 for j in range(1, 4):
                     a = jnp.where(s == j, anys[j], a)
-                return jnp.where(s < 0, False, a)
+                return jnp.where(s < 0, 0, a) > 0
 
             def pick_hit(s):
-                h = hits[0]
+                # i32 through the select chain: Mosaic cannot select i1
+                h = hits[0].astype(jnp.int32)
                 for j in range(1, 4):
-                    h = jnp.where(s == j, hits[j], h)
-                return h
+                    h = jnp.where(s == j, hits[j].astype(jnp.int32), h)
+                return h > 0
 
             # process ordered slots near-to-far: leaves intersect now;
             # internal hits: first becomes cur, later ones pushed in
