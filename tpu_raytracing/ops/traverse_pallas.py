@@ -621,26 +621,63 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
     return kernel
 
 
+def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g):
+    """Wrap a per-tile kernel body into a single gridless invocation.
+
+    With a grid, Pallas re-stages the full node/tri tables from HBM on
+    EVERY grid step (~1ms for ~2.4MB) — that re-fetch, not the walk body,
+    dominated kernel time. Gridless, the tables are fetched once and an
+    in-kernel fori loops over ray tiles with dynamic sublane slices.
+    """
+    tile_kernel = tile_kernel_factory(early_exit, root_meta, n_tris)
+
+    def kernel(table_ref, tris_ref, *refs):
+        (ox, oy, oz, dx, dy, dz, tmn, tmx, act, t_out, best_out,
+         stack_ref) = refs
+
+        def run_tile(i, _):
+            sl = pl.ds(i * SUB, SUB)
+
+            class View:
+                def __init__(self, ref):
+                    self.ref = ref
+
+                def __getitem__(self, idx):
+                    if idx == slice(None):
+                        return self.ref[sl, :]
+                    raise KeyError(idx)
+
+                def __setitem__(self, idx, v):
+                    assert idx == slice(None)
+                    self.ref[sl, :] = v
+
+            tile_kernel(
+                table_ref, tris_ref,
+                View(ox), View(oy), View(oz), View(dx), View(dy), View(dz),
+                View(tmn), View(tmx), View(act),
+                View(t_out), View(best_out), stack_ref,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, g, run_tile, 0)
+
+    return kernel
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def _quad_tiles(shape_key, quads_pk, tris_pk, early_exit, cols):
     root_meta, n_tris, interpret = shape_key
     g = cols[0].shape[0] // SUB
-    kernel = _quad_kernel(early_exit, root_meta, n_tris)
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kernel = _gridless_kernel(_quad_kernel, early_exit, root_meta, n_tris, g)
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(g,),
         out_shape=(
             jax.ShapeDtypeStruct((g * SUB, LANE), jnp.float32),
             jax.ShapeDtypeStruct((g * SUB, LANE), jnp.int32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            *[pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)] * 9,
-        ],
-        out_specs=(ray_spec, ray_spec),
+        in_specs=[full_spec] * 11,
+        out_specs=(full_spec, full_spec),
         scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
         interpret=interpret,
     )(quads_pk, tris_pk, *cols)
