@@ -60,7 +60,6 @@ def _default_chunk() -> int:
     return 1 << 17 if platform == "tpu" else 1 << 13
 
 
-DEFAULT_CHUNK = None  # resolved lazily per platform
 
 
 class StaticSettings(NamedTuple):
