@@ -532,23 +532,31 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
                 for j in range(4)
             ]
 
-            # tile-majority near-first order of the (up to) 4 slots
-            sgn_top = (negbits >> a_top) & 1
-            sgn_l = (negbits >> a_l) & 1
-            sgn_r = (negbits >> a_r) & 1
-            two_l = nleft == 2
-            two_r = (nkids - nleft) == 2
-            # left half slots: [0] or [0,1] ordered by sgn_l
-            l0 = jnp.where(two_l & (sgn_l == 1), 1, 0)
-            l1 = jnp.where(two_l, 1 - l0, -1)
-            rb = nleft
-            r0 = rb + jnp.where(two_r & (sgn_r == 1), 1, 0)
-            r1 = jnp.where(two_r, rb + (1 - (r0 - rb)), -1)
-            # halves ordered by sgn_top
-            o0 = jnp.where(sgn_top == 0, l0, r0)
-            o1 = jnp.where(sgn_top == 0, l1, r1)
-            o2 = jnp.where(sgn_top == 0, r0, l0)
-            o3 = jnp.where(sgn_top == 0, r1, l1)
+            if early_exit:
+                # any-hit: visit order is irrelevant — static storage order
+                # keeps the per-visit scalar program (the measured
+                # bottleneck) minimal
+                o0, o1, o2, o3 = (
+                    jnp.int32(0), jnp.int32(1), jnp.int32(2), jnp.int32(3),
+                )
+            else:
+                # tile-majority near-first order of the (up to) 4 slots
+                sgn_top = (negbits >> a_top) & 1
+                sgn_l = (negbits >> a_l) & 1
+                sgn_r = (negbits >> a_r) & 1
+                two_l = nleft == 2
+                two_r = (nkids - nleft) == 2
+                # left half slots: [0] or [0,1] ordered by sgn_l
+                l0 = jnp.where(two_l & (sgn_l == 1), 1, 0)
+                l1 = jnp.where(two_l, 1 - l0, -1)
+                rb = nleft
+                r0 = rb + jnp.where(two_r & (sgn_r == 1), 1, 0)
+                r1 = jnp.where(two_r, rb + (1 - (r0 - rb)), -1)
+                # halves ordered by sgn_top
+                o0 = jnp.where(sgn_top == 0, l0, r0)
+                o1 = jnp.where(sgn_top == 0, l1, r1)
+                o2 = jnp.where(sgn_top == 0, r0, l0)
+                o3 = jnp.where(sgn_top == 0, r1, l1)
 
             def pick_meta(s):
                 m = metas[0]
