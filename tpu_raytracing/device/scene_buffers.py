@@ -132,6 +132,16 @@ class DeviceScene:
     tri_pack_pk: jax.Array    # (ceil(T/8), 128) f32, 8 tri records/row
     bvh2_rows_pk: jax.Array   # (ceil(M/8), 128) f32, 8 child-pair records/row
     bvh4_recs_pk: jax.Array   # (ceil(K/4), 128) f32, 4 quad records/row
+    # single-gather shading rows (XLA gathers cost ~the same per ROW
+    # regardless of width, so 13 narrow gathers fold into 1 wide one):
+    # tri_shade (T, 32): p0 p1 p2 n0 n1 n2 uv0 uv1 uv2 | bits: mat light
+    # has_n has_uv; em_shade (E, 24): p0 p1 p2 n0 n1 n2 area bits(has_n)
+    tri_shade: jax.Array
+    em_shade: jax.Array
+    mat_pack: jax.Array   # (M, 8) i32: kind, tex0..4, remap
+    tex_pack: jax.Array   # (X, 16) f32: v0, v1, bits[ref0/first_level,
+                          # ref1, ref2, kind, filter, wrap, n_levels]
+    lvl_pack: jax.Array   # (LV, 4) i32: offset, w, h
     # child-pair rows for stack-based near-first traversal: one row per
     # INTERNAL node = [L.min, L.max, R.min, R.max, bits(metaL), bits(metaR),
     # pad, pad] (16 f32). meta encodes a child: leaf -> (first<<3)|count
@@ -686,6 +696,34 @@ def compile_scene(scene: Scene) -> DeviceScene:
         else:
             raise TypeError(f"unknown texture: {t}")
 
+    # packed single-gather rows for materials / textures / mip levels
+    mat_pack = np.zeros((n_mats, 8), np.int32)
+    mat_pack[:, 0] = mat_kind
+    mat_pack[:, 1:6] = mat_tex
+    mat_pack[:, 6] = mat_remap.astype(np.int32)
+
+    tex_pack = np.zeros((n_tex, 16), F)
+    tex_pack[:, 0:4] = tex_v0
+    tex_pack[:, 4:8] = tex_v1
+    ti = np.zeros((n_tex, 8), np.int32)
+    # for image textures, bake the image indirection in: slot 0 becomes the
+    # image's first mip level and slot 6 its level count
+    is_img = tex_kind == TEX_IMAGE
+    img_id = np.maximum(tex_ref[:, 0], 0)
+    ti[:, 0] = np.where(is_img, img_first_level[img_id], tex_ref[:, 0])
+    ti[:, 1] = tex_ref[:, 1]
+    ti[:, 2] = tex_ref[:, 2]
+    ti[:, 3] = tex_kind
+    ti[:, 4] = tex_filter
+    ti[:, 5] = tex_wrap
+    ti[:, 6] = np.where(is_img, img_n_levels[img_id], 0)
+    tex_pack[:, 8:16] = ti.view(F)
+
+    lvl_pack = np.zeros((img_level_offset.shape[0], 4), np.int32)
+    lvl_pack[:, 0] = img_level_offset
+    lvl_pack[:, 1] = img_level_w
+    lvl_pack[:, 2] = img_level_h
+
     # ---------------- lights
     n_lights = len(scene.lights)
     l_pad = max(1, n_lights)
@@ -761,6 +799,32 @@ def compile_scene(scene: Scene) -> DeviceScene:
         em_area = np.ones(1, F)
         em_has_n = np.zeros(1, bool)
 
+    # single-gather shading rows
+    tri_shade = np.zeros((tri_p0.shape[0], 32), F)
+    tri_shade[:, 0:3] = tri_p0
+    tri_shade[:, 3:6] = tri_p1
+    tri_shade[:, 6:9] = tri_p2
+    tri_shade[:, 9:12] = tri_n0
+    tri_shade[:, 12:15] = tri_n1
+    tri_shade[:, 15:18] = tri_n2
+    tri_shade[:, 18:20] = tri_uv0
+    tri_shade[:, 20:22] = tri_uv1
+    tri_shade[:, 22:24] = tri_uv2
+    tri_shade[:, 24] = tri_mat.astype(np.int32).view(F)
+    tri_shade[:, 25] = tri_light.astype(np.int32).view(F)
+    tri_shade[:, 26] = tri_has_n.astype(np.int32).view(F)
+    tri_shade[:, 27] = tri_has_uv.astype(np.int32).view(F)
+
+    em_shade = np.zeros((em_p0.shape[0], 24), F)
+    em_shade[:, 0:3] = em_p0
+    em_shade[:, 3:6] = em_p1
+    em_shade[:, 6:9] = em_p2
+    em_shade[:, 9:12] = em_n0
+    em_shade[:, 12:15] = em_n1
+    em_shade[:, 15:18] = em_n2
+    em_shade[:, 18] = em_area
+    em_shade[:, 19] = em_has_n.astype(np.int32).view(F)
+
     # ---------------- camera
     cam = scene.camera
     ct = cam.camera_type
@@ -823,6 +887,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),
         sph_mat=dev(sph_mat), sph_light=dev(sph_light),
         mat_kind=dev(mat_kind), mat_tex=dev(mat_tex), mat_remap=dev(mat_remap),
+        mat_pack=dev(mat_pack), tex_pack=dev(tex_pack), lvl_pack=dev(lvl_pack),
         tex_kind=dev(tex_kind), tex_v0=dev(tex_v0), tex_v1=dev(tex_v1),
         tex_ref=dev(tex_ref), tex_filter=dev(tex_filter), tex_wrap=dev(tex_wrap),
         img_texels=dev(img_texels),
@@ -835,6 +900,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         em_p0=dev(em_p0), em_p1=dev(em_p1), em_p2=dev(em_p2),
         em_n0=dev(em_n0), em_n1=dev(em_n1), em_n2=dev(em_n2),
         em_area=dev(em_area), em_has_n=dev(em_has_n),
+        tri_shade=dev(tri_shade), em_shade=dev(em_shade),
         cam_raster_to_camera=dev(cam.raster_to_camera.forward),
         cam_camera_to_world=dev(cam.camera_to_world.forward),
         cam_min_diff=dev(cam_min_diff),

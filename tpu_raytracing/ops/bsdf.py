@@ -73,9 +73,10 @@ def get_bsdf_params(ds: DeviceScene, mat_id, ctx: EvalCtx) -> BsdfParams:
     """Gather + evaluate material textures -> per-lane BSDF parameters
     (materials.rs get_bsdf semantics incl. roughness remap + smooth fallback)."""
     mat_id = jnp.maximum(mat_id, 0)
-    kind = ds.mat_kind[mat_id]
-    tex = ds.mat_tex[mat_id]
-    remap = ds.mat_remap[mat_id]
+    mp = ds.mat_pack[mat_id]  # one wide gather: kind, tex0..4, remap
+    kind = mp[:, 0]
+    tex = mp[:, 1:6]
+    remap = mp[:, 6] != 0
 
     t0 = eval_texture(ds, tex[:, 0], ctx)  # albedo / eta
     t1 = eval_texture(ds, tex[:, 1], ctx)  # kappa / dielectric eta

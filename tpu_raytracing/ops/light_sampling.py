@@ -91,7 +91,8 @@ def sample_light(
     b1 = jnp.where(lt, u1 - u0 / 2.0, u1 / 2.0)
     b2 = 1.0 - b0 - b1
 
-    p0, p1, p2 = ds.em_p0[idx], ds.em_p1[idx], ds.em_p2[idx]
+    sh = ds.em_shade[idx]  # one wide gather instead of 8 narrow ones
+    p0, p1, p2 = sh[:, 0:3], sh[:, 3:6], sh[:, 6:9]
     p_world = b0[:, None] * p0 + b1[:, None] * p1 + b2[:, None] * p2
     dir_world = point - p_world
     d = jnp.linalg.norm(dir_world, axis=-1)
@@ -99,20 +100,19 @@ def sample_light(
     dir_unit = dir_world / safe_d[:, None]
 
     n_interp = (
-        b0[:, None] * ds.em_n0[idx]
-        + b1[:, None] * ds.em_n1[idx]
-        + b2[:, None] * ds.em_n2[idx]
+        b0[:, None] * sh[:, 9:12]
+        + b1[:, None] * sh[:, 12:15]
+        + b2[:, None] * sh[:, 15:18]
     )
     n_geo = normalize(cross(p2 - p0, p1 - p0))
-    n = jnp.where(
-        ds.em_has_n[idx][:, None], normalize(n_interp), n_geo
-    )
+    has_n = jax.lax.bitcast_convert_type(sh[:, 19], jnp.int32) != 0
+    n = jnp.where(has_n[:, None], normalize(n_interp), n_geo)
 
     cos = dot(dir_unit, n)
     radiance = jnp.where(
         (cos < 0.0)[:, None], 0.0, jnp.broadcast_to(ds.light_vb[li], point.shape)
     )
-    area = ds.em_area[idx]
+    area = sh[:, 18]
     safe_cos = jnp.maximum(jnp.abs(cos), 1e-9)
     pdf = (
         (1.0 / n_tris.astype(jnp.float32))

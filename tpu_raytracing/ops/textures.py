@@ -94,16 +94,21 @@ def _apply_wrap(wrap_kind, x):
     return jnp.where(wrap_kind == int(WrapMode.CLAMP), clamped, out)
 
 
-def _fetch_texel(ds: DeviceScene, level, x, y):
+def _level_info(ds: DeviceScene, level):
+    """(offset, w_i, h_i) of a mip level — one packed gather."""
+    lv = ds.lvl_pack[level]
+    return lv[:, 0], lv[:, 1], lv[:, 2]
+
+
+def _fetch_texel(ds: DeviceScene, offset, w, x, y):
     """Gather a texel from the mip atlas; x/y already clamped in range."""
-    w = ds.img_level_w[level]
-    addr = ds.img_level_offset[level] + y * w + x
-    return ds.img_texels[addr]
+    return ds.img_texels[offset + y * w + x]
 
 
 def _bilerp(ds: DeviceScene, level, u, v):
-    w = ds.img_level_w[level].astype(jnp.float32)
-    h = ds.img_level_h[level].astype(jnp.float32)
+    offset, w_i, h_i = _level_info(ds, level)
+    w = w_i.astype(jnp.float32)
+    h = h_i.astype(jnp.float32)
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = jnp.clip(jnp.floor(x), 0.0, w - 1.0).astype(jnp.int32)
@@ -112,28 +117,29 @@ def _bilerp(ds: DeviceScene, level, u, v):
     y1 = jnp.clip(jnp.ceil(y), 0.0, h - 1.0).astype(jnp.int32)
     xf = jnp.clip(x - jnp.floor(x), 0.0, 1.0)[:, None]
     yf = jnp.clip(y - jnp.floor(y), 0.0, 1.0)[:, None]
-    p00 = _fetch_texel(ds, level, x0, y0)
-    p01 = _fetch_texel(ds, level, x1, y0)
-    p10 = _fetch_texel(ds, level, x0, y1)
-    p11 = _fetch_texel(ds, level, x1, y1)
+    p00 = _fetch_texel(ds, offset, w_i, x0, y0)
+    p01 = _fetch_texel(ds, offset, w_i, x1, y0)
+    p10 = _fetch_texel(ds, offset, w_i, x0, y1)
+    p11 = _fetch_texel(ds, offset, w_i, x1, y1)
     u0 = p00 * (1.0 - xf) + p01 * xf
     u1 = p10 * (1.0 - xf) + p11 * xf
     return u0 * (1.0 - yf) + u1 * yf
 
 
 def _point_sample(ds: DeviceScene, level, u, v):
-    w = ds.img_level_w[level].astype(jnp.float32)
-    h = ds.img_level_h[level].astype(jnp.float32)
+    offset, w_i, h_i = _level_info(ds, level)
+    w = w_i.astype(jnp.float32)
+    h = h_i.astype(jnp.float32)
     x = jnp.clip(jnp.round(u * w - 0.5), 0.0, w - 1.0).astype(jnp.int32)
     y = jnp.clip(jnp.round(v * h - 0.5), 0.0, h - 1.0).astype(jnp.int32)
-    return _fetch_texel(ds, level, x, y)
+    return _fetch_texel(ds, offset, w_i, x, y)
 
 
-def _mip_level_value(ds: DeviceScene, img, ctx: EvalCtx):
+def _mip_level_value(ds: DeviceScene, mip0, ctx: EvalCtx):
     """Raw (unclamped) mip level from uv footprint (texture.rs:274-298).
     Returns (level, valid)."""
-    mip0 = ds.img_first_level[img]
-    w0 = ds.img_level_w[mip0].astype(jnp.float32)
+    _, w0_i, _ = _level_info(ds, mip0)
+    w0 = w0_i.astype(jnp.float32)
     dx = jnp.sqrt(ctx.dudx**2 + ctx.dvdx**2)
     dy = jnp.sqrt(ctx.dudy**2 + ctx.dvdy**2)
     larger = jnp.maximum(dx, dy)
@@ -143,13 +149,13 @@ def _mip_level_value(ds: DeviceScene, img, ctx: EvalCtx):
     return level, valid
 
 
-def _sample_image(ds: DeviceScene, tid, ctx: EvalCtx):
-    img = jnp.maximum(ds.tex_ref[tid, 0], 0)
-    wrap = ds.tex_wrap[tid]
-    filt = ds.tex_filter[tid]
+def _sample_image(ds: DeviceScene, row, ints, ctx: EvalCtx):
+    mip0 = jnp.maximum(ints[:, 0], 0)   # first mip level (baked by compiler)
+    filt = ints[:, 4]
+    wrap = ints[:, 5]
+    n_levels = ints[:, 6]
     u = _apply_wrap(wrap, ctx.uv[:, 0])
     v = _apply_wrap(wrap, ctx.uv[:, 1])
-    mip0 = ds.img_first_level[img]
 
     bilinear = _bilerp(ds, mip0, u, v)
     nearest = _point_sample(ds, mip0, u, v)
@@ -157,8 +163,8 @@ def _sample_image(ds: DeviceScene, tid, ctx: EvalCtx):
         (filt == int(FilterMode.NEAREST))[:, None], nearest, bilinear
     )
     if ds.meta.any_trilinear:
-        level, valid = _mip_level_value(ds, img, ctx)
-        max_level = (ds.img_n_levels[img] - 1).astype(jnp.float32)
+        level, valid = _mip_level_value(ds, mip0, ctx)
+        max_level = (n_levels - 1).astype(jnp.float32)
         lower = jnp.floor(jnp.clip(level, 0.0, max_level)).astype(jnp.int32)
         upper = jnp.ceil(jnp.clip(level, 0.0, max_level)).astype(jnp.int32)
         t = (level - jnp.floor(level))[:, None]
@@ -169,9 +175,9 @@ def _sample_image(ds: DeviceScene, tid, ctx: EvalCtx):
     return out
 
 
-def _checker(ds: DeviceScene, tid, ctx: EvalCtx):
-    c1 = ds.tex_v0[tid]
-    c2 = ds.tex_v1[tid]
+def _checker(row, ctx: EvalCtx):
+    c1 = row[:, 0:4]
+    c2 = row[:, 4:8]
     u = ctx.uv[:, 0] - jnp.floor(ctx.uv[:, 0])
     v = ctx.uv[:, 1] - jnp.floor(ctx.uv[:, 1])
     point_sampled = ((ctx.dudx == 0.0) & (ctx.dvdx == 0.0)) | (
@@ -201,34 +207,45 @@ def _checker(ds: DeviceScene, tid, ctx: EvalCtx):
     return jnp.where(point_sampled[:, None], plain, aa)
 
 
-def _eval_leaf(ds: DeviceScene, tid, ctx: EvalCtx):
+def _leaf_from_row(ds: DeviceScene, row, ctx: EvalCtx):
     kinds = ds.meta.tex_kinds_present
-    kind = ds.tex_kind[tid]
-    out = ds.tex_v0[tid]  # constant path covers CONSTANT (and default)
+    ints = jax.lax.bitcast_convert_type(row[:, 8:16], jnp.int32)
+    kind = ints[:, 3]
+    out = row[:, 0:4]  # constant path covers CONSTANT (and default)
     if TEX_IMAGE in kinds:
         out = jnp.where(
-            (kind == TEX_IMAGE)[:, None], _sample_image(ds, tid, ctx), out
+            (kind == TEX_IMAGE)[:, None], _sample_image(ds, row, ints, ctx),
+            out,
         )
     if TEX_CHECKER in kinds:
         out = jnp.where(
-            (kind == TEX_CHECKER)[:, None], _checker(ds, tid, ctx), out
+            (kind == TEX_CHECKER)[:, None], _checker(row, ctx), out
         )
     return out
+
+
+def _eval_leaf(ds: DeviceScene, tid, ctx: EvalCtx):
+    return _leaf_from_row(ds, ds.tex_pack[tid], ctx)
 
 
 def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx):
     """Evaluate texture ids (B,) at ctx -> (B, 4)."""
     tid = jnp.maximum(tid, 0)
-    out = _eval_leaf(ds, tid, ctx)
+    row = ds.tex_pack[tid]  # one wide gather
+    out = _leaf_from_row(ds, row, ctx)
     kinds = ds.meta.tex_kinds_present
     if TEX_SCALE in kinds or TEX_MIX in kinds:
-        kind = ds.tex_kind[tid]
-        a = _eval_leaf(ds, jnp.maximum(ds.tex_ref[tid, 0], 0), ctx)
-        b = _eval_leaf(ds, jnp.maximum(ds.tex_ref[tid, 1], 0), ctx)
+        ints = jax.lax.bitcast_convert_type(row[:, 8:16], jnp.int32)
+        kind = ints[:, 3]
+        # slot 0 holds a mip level for IMAGE rows — clamp into table range
+        # (the scale/mix selects mask those lanes out)
+        hi = ds.tex_pack.shape[0] - 1
+        a = _eval_leaf(ds, jnp.clip(ints[:, 0], 0, hi), ctx)
+        b = _eval_leaf(ds, jnp.clip(ints[:, 1], 0, hi), ctx)
         if TEX_SCALE in kinds:
             out = jnp.where((kind == TEX_SCALE)[:, None], a * b, out)
         if TEX_MIX in kinds:
-            c = _eval_leaf(ds, jnp.maximum(ds.tex_ref[tid, 2], 0), ctx)
+            c = _eval_leaf(ds, jnp.clip(ints[:, 2], 0, hi), ctx)
             out = jnp.where(
                 (kind == TEX_MIX)[:, None], (1.0 - c) * a + c * b, out
             )
@@ -242,9 +259,10 @@ def texture_mip_level(ds: DeviceScene, tid, ctx: EvalCtx):
     B = tid.shape[0]
     if TEX_IMAGE not in ds.meta.tex_kinds_present or not ds.meta.any_trilinear:
         return jnp.zeros(B, jnp.float32), jnp.zeros(B, bool)
-    kind = ds.tex_kind[tid]
-    filt = ds.tex_filter[tid]
-    img = jnp.maximum(ds.tex_ref[tid, 0], 0)
-    level, valid = _mip_level_value(ds, img, ctx)
+    ints = jax.lax.bitcast_convert_type(ds.tex_pack[tid][:, 8:16], jnp.int32)
+    kind = ints[:, 3]
+    filt = ints[:, 4]
+    mip0 = jnp.maximum(ints[:, 0], 0)
+    level, valid = _mip_level_value(ds, mip0, ctx)
     valid = valid & (kind == TEX_IMAGE) & (filt == int(FilterMode.TRILINEAR))
     return jnp.where(valid, level, 0.0), valid

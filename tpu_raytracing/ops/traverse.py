@@ -400,9 +400,12 @@ def hit_details(
 
     point = origin + t[:, None] * direction
 
-    # -------- triangle path
+    # -------- triangle path: ONE wide gather replaces 13 narrow ones
+    # (XLA TPU gathers cost ~the same per row regardless of width)
     tid = jnp.clip(jnp.where(is_tri, prim, 0), 0, max(n_tris - 1, 0))
-    p0, p1, p2 = ds.tri_p0[tid], ds.tri_p1[tid], ds.tri_p2[tid]
+    sh = ds.tri_shade[tid]                       # (B, 32)
+    p0, p1, p2 = sh[:, 0:3], sh[:, 3:6], sh[:, 6:9]
+    sh_ints = jax.lax.bitcast_convert_type(sh[:, 24:28], jnp.int32)
     # recompute barycentrics for the winning triangle
     _, _, u, v = ray_triangle(
         origin, direction, p0, p1, p2,
@@ -411,20 +414,20 @@ def hit_details(
     w = 1.0 - u - v
     geo_n = normalize(cross(p2 - p0, p1 - p0))
     sn = (
-        w[:, None] * ds.tri_n0[tid]
-        + u[:, None] * ds.tri_n1[tid]
-        + v[:, None] * ds.tri_n2[tid]
+        w[:, None] * sh[:, 9:12]
+        + u[:, None] * sh[:, 12:15]
+        + v[:, None] * sh[:, 15:18]
     )
     tri_normal = jnp.where(
-        ds.tri_has_n[tid][:, None], normalize(sn), geo_n
+        (sh_ints[:, 2] != 0)[:, None], normalize(sn), geo_n
     )
     default_uv0 = jnp.array([0.0, 0.0], jnp.float32)
     default_uv1 = jnp.array([1.0, 0.0], jnp.float32)
     default_uv2 = jnp.array([0.0, 1.0], jnp.float32)
-    has_uv = ds.tri_has_uv[tid][:, None]
-    uv0 = jnp.where(has_uv, ds.tri_uv0[tid], default_uv0)
-    uv1 = jnp.where(has_uv, ds.tri_uv1[tid], default_uv1)
-    uv2 = jnp.where(has_uv, ds.tri_uv2[tid], default_uv2)
+    has_uv = (sh_ints[:, 3] != 0)[:, None]
+    uv0 = jnp.where(has_uv, sh[:, 18:20], default_uv0)
+    uv1 = jnp.where(has_uv, sh[:, 20:22], default_uv1)
+    uv2 = jnp.where(has_uv, sh[:, 22:24], default_uv2)
     tri_uv = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
     # pbrt 4ed eq. 6.7
     duv02 = uv0 - uv2
@@ -440,8 +443,8 @@ def hit_details(
     tri_dpdv = inv_det[:, None] * (
         duv02[:, 0:1] * dp12 - duv12[:, 0:1] * dp02
     )
-    tri_mat = ds.tri_mat[tid]
-    tri_light = ds.tri_light[tid]
+    tri_mat = sh_ints[:, 0]
+    tri_light = sh_ints[:, 1]
 
     # -------- sphere path
     if ds.meta.n_spheres:
