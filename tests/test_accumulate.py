@@ -32,6 +32,18 @@ def test_chunked_matches_oneshot_samples(scene_settings):
     assert acc.rays_traced > 0
 
 
+def test_ragged_final_chunk(scene_settings):
+    """total_spp % spp_chunk != 0 renders exactly total_spp samples (the
+    final chunk is sized to the remainder, not a full spp_chunk)."""
+    scene, s = scene_settings
+    s3 = type(s)(**{**s.__dict__})
+    s3.samples_per_pixel = 3
+    full = render(scene, s3, chunk_pixels=1 << 12)
+    acc = render_accumulated(scene, s3, spp_chunk=2, chunk_pixels=1 << 12)
+    np.testing.assert_allclose(acc.beauty, full.beauty, rtol=1e-5, atol=1e-6)
+    assert acc.rays_traced == full.rays_traced
+
+
 def test_resume_from_partial_checkpoint(scene_settings, tmp_path):
     """A checkpoint holding only the first chunk resumes to the same final
     image as an uninterrupted run (sample indices are absolute)."""

@@ -39,12 +39,15 @@ def _pixels(ds, n):
     return px, py
 
 
-def _run(ds, cfg, st, mesh, px, py):
+def _run(ds, cfg, st, mesh, px, py, active=None):
     step = make_sharded_step(ds, cfg, st, mesh)
     sh = NamedSharding(mesh, P("tiles"))
     px_d = jax.device_put(jnp.asarray(px), sh)
     py_d = jax.device_put(jnp.asarray(py), sh)
-    radiance, rays = step(px_d, py_d)
+    if active is None:
+        active = np.ones(px.shape[0], bool)
+    act_d = jax.device_put(jnp.asarray(active), sh)
+    radiance, rays = step(px_d, py_d, act_d)
     return np.asarray(radiance), int(rays)
 
 
@@ -85,6 +88,44 @@ def test_spp_not_divisible_raises(scene_setup):
     bad = st._replace(samples_per_pixel=6)
     with pytest.raises(ValueError, match="not divisible"):
         make_sharded_step(ds, cfg, bad, mesh)
+
+
+def _tiny_frame_scene():
+    """checkered_plane with the camera rebuilt at 37x27 (999 pixels: not a
+    multiple of 8 tiles, so render_distributed must pad a dead lane)."""
+    from tpu_raytracing.scene.camera import create_perspective_transform
+
+    ts = get_test_scene("checkered_plane")
+    scene = ts.scene_func()
+    cam = scene.camera
+    w, h = 37, 27
+    c2r = create_perspective_transform(
+        cam.far_clip, cam.near_clip, cam.camera_type.yfov, w, h
+    )
+    cam.raster_width, cam.raster_height = w, h
+    cam.world_to_raster = cam.camera_to_world.invert().compose(c2r)
+    cam.raster_to_camera = c2r.invert()
+    settings = ts.settings_func()
+    settings.samples_per_pixel = 2
+    settings.light_sample_count = 1
+    settings.max_ray_depth = 2
+    return scene, settings
+
+
+def test_render_distributed_full_frame():
+    """Full-frame distributed render (parallel/mesh.py:107-152): padding,
+    bit-exact beauty vs the single-device driver, and an exact ray count
+    (padded lanes must not be traced or counted)."""
+    from tpu_raytracing.integrator.render import render
+    from tpu_raytracing.parallel import render_distributed
+
+    scene, settings = _tiny_frame_scene()
+    ref = render(scene, settings)
+    mesh = make_render_mesh(n_tiles=8, n_spp=1)
+    out = render_distributed(scene, settings, mesh=mesh)
+    np.testing.assert_array_equal(out.beauty, ref.beauty)
+    assert out.rays_traced == ref.rays_traced
+    assert out.normals is None  # AOV passes are not distributed
 
 
 def test_graft_entry_single_chip():

@@ -90,33 +90,36 @@ def render_accumulated(
     import jax
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(1, 2))
-    def chunk_fn(ds_, cfg_, st_, s0, px_, py_):
+    @partial(jax.jit, static_argnums=(1, 2, 3))
+    def chunk_fn(ds_, cfg_, st_, n_samples, s0, px_, py_, act_):
         def body(i, carry):
             acc, rays = carry
             s = s0 + jnp.uint32(i)
-            r, n = trace_radiance(ds_, cfg_, st_, px_, py_, s)
+            r, n = trace_radiance(ds_, cfg_, st_, px_, py_, s, active=act_)
             return acc + r, rays + n
 
         return jax.lax.fori_loop(
-            0, spp_chunk, body,
+            0, n_samples, body,
             (jnp.zeros((px_.shape[0], 3), jnp.float32), jnp.zeros((), jnp.int32)),
         )
 
     while spp_done < total_spp:
         t0 = time.perf_counter()
         s0 = jnp.uint32(spp_done)
+        # Final chunk may be short when total_spp % spp_chunk != 0; a second
+        # jitted specialization keeps shapes/trip counts static.
+        this_chunk = min(spp_chunk, total_spp - spp_done)
         rays_box = [0]
 
-        def run(a, b):
-            r, n = chunk_fn(ds, cfg, st, s0, a, b)
+        def run(a, b, act):
+            r, n = chunk_fn(ds, cfg, st, this_chunk, s0, a, b, act)
             rays_box[0] += int(n)
             return r
 
         (partial_sum,) = _run_chunked(run, px, py, 1, chunk_pixels)
         accum = accum + partial_sum
         rays_total += rays_box[0]
-        spp_done += spp_chunk
+        spp_done += this_chunk
         log.info(
             "accumulated %d/%d spp (%.2fs)", spp_done, total_spp,
             time.perf_counter() - t0,

@@ -96,6 +96,7 @@ def trace_radiance(
     st: StaticSettings,
     px, py,            # (B,) pixel coords
     sample_idx,        # scalar or (B,)
+    active=None,       # optional (B,) bool: lanes to trace (padding mask)
 ):
     """Estimate radiance for one sample of each pixel (ray_radiance semantics)."""
     stream = make_stream(px, py, sample_idx)
@@ -110,7 +111,7 @@ def trace_radiance(
         depth=jnp.zeros((), jnp.int32),
         ray_o=ray_o,
         ray_d=ray_d,
-        alive=jnp.ones(B_, bool),
+        alive=jnp.ones(B_, bool) if active is None else active,
         specular=jnp.ones(B_, bool),
         radiance=jnp.zeros((B_, 3), f32),
         path_weight=jnp.ones((B_, 3), f32),
@@ -249,12 +250,13 @@ def trace_radiance(
 
 
 @partial(jax.jit, static_argnums=(1, 2))
-def render_beauty_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py):
+def render_beauty_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
+                        active=None):
     """Average trace_radiance over spp for one pixel chunk."""
 
     def body(s, carry):
         acc, rays = carry
-        r, n = trace_radiance(ds, cfg, st, px, py, s)
+        r, n = trace_radiance(ds, cfg, st, px, py, s, active=active)
         return acc + r, rays + n
 
     total, rays = jax.lax.fori_loop(
@@ -355,11 +357,15 @@ def _run_chunked(fn, px, py, n_outputs, chunk=None):
     for start in range(0, n, chunk):
         cpx = px[start:start + chunk]
         cpy = py[start:start + chunk]
+        act = np.ones(chunk, bool)
         if cpx.shape[0] < chunk:
+            # padded lanes are flagged inactive: traced as dead (no work)
+            # and excluded from ray counts
             pad = chunk - cpx.shape[0]
+            act[chunk - pad:] = False
             cpx = np.concatenate([cpx, np.zeros(pad, cpx.dtype)])
             cpy = np.concatenate([cpy, np.zeros(pad, cpy.dtype)])
-        res = fn(jnp.asarray(cpx), jnp.asarray(cpy))
+        res = fn(jnp.asarray(cpx), jnp.asarray(cpy), jnp.asarray(act))
         if not isinstance(res, tuple):
             res = (res,)
         sizes.append(min(chunk, n - start))
@@ -398,7 +404,7 @@ def render(
     if settings.outputs & AovFlags.FIRST_HIT_AOVS:
         t0 = time.perf_counter()
         normals, albedo, uv, mip = _run_chunked(
-            lambda a, b: render_aov_chunk(ds, cfg, st, a, b),
+            lambda a, b, _act: render_aov_chunk(ds, cfg, st, a, b),
             px, py, 4, chunk_pixels,
         )
         log.info("aov pass took %.3fs", time.perf_counter() - t0)
@@ -415,8 +421,8 @@ def render(
         t0 = time.perf_counter()
         ray_counts = []
 
-        def beauty_fn(a, b):
-            r, n = render_beauty_chunk(ds, cfg, st, a, b)
+        def beauty_fn(a, b, act):
+            r, n = render_beauty_chunk(ds, cfg, st, a, b, act)
             ray_counts.append(n)  # device scalar; fetched after the loop
             return r
 

@@ -69,9 +69,20 @@ def pack_tables(bvh_nodes: np.ndarray, tri_pack: np.ndarray):
 
 
 def supports(ds) -> bool:
+    import os as _o
+
     nodes = ds.bvh_nodes_pk.size * 4
     tris = ds.tri_pack_pk.size * 4
-    return ds.meta.n_tris > 0 and (nodes + tris) < VMEM_TABLE_BYTES
+    if not (ds.meta.n_tris > 0 and (nodes + tris) < VMEM_TABLE_BYTES):
+        return False
+    # deep/degenerate trees whose stack bound exceeds the kernel's SMEM
+    # stack degrade to the XLA walk instead of raising (ADVICE r1)
+    kind = _o.environ.get("TPU_RT_PALLAS_KERNEL", "quad")
+    if kind == "quad" and ds.meta.bvh4_stack > STACK_CAP:
+        return False
+    if kind == "pair" and ds.meta.bvh2_depth > STACK_CAP:
+        return False
+    return True
 
 
 def _select_record(row, sub, n_records, width):

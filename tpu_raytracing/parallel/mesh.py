@@ -77,13 +77,13 @@ def make_sharded_step(
     spp_per = st.samples_per_pixel // n_spp_shards
     inv_spp = np.float32(1.0 / st.samples_per_pixel)
 
-    def shard_fn(px, py):
+    def shard_fn(px, py, active):
         spp_rank = jax.lax.axis_index(SPP_AXIS)
 
         def body(i, carry):
             acc, rays = carry
             s = (spp_rank * spp_per + i).astype(jnp.uint32)
-            r, n = trace_radiance(ds, cfg, st, px, py, s)
+            r, n = trace_radiance(ds, cfg, st, px, py, s, active=active)
             return acc + r, rays + n
 
         total, rays = jax.lax.fori_loop(
@@ -97,7 +97,7 @@ def make_sharded_step(
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
         out_specs=(P(TILE_AXIS), P()),
         check_vma=False,
     )
@@ -135,14 +135,19 @@ def render_distributed(
     n = px.shape[0]
     n_tiles = mesh.shape[TILE_AXIS]
     pad = (-n) % n_tiles
+    # padded lanes carry active=False: they trace nothing and are excluded
+    # from the psum'd ray count
+    active = np.ones(n + pad, bool)
     if pad:
         px = np.concatenate([px, np.zeros(pad, px.dtype)])
         py = np.concatenate([py, np.zeros(pad, py.dtype)])
+        active[n:] = False
 
     sharding = NamedSharding(mesh, P(TILE_AXIS))
     px_d = jax.device_put(jnp.asarray(px), sharding)
     py_d = jax.device_put(jnp.asarray(py), sharding)
-    radiance, rays = step(px_d, py_d)
+    act_d = jax.device_put(jnp.asarray(active), sharding)
+    radiance, rays = step(px_d, py_d, act_d)
     beauty = np.asarray(radiance)[:n].reshape(height, width, 3)
 
     out = RenderOutput(width=width, height=height)
@@ -181,6 +186,7 @@ def dryrun_step(mesh: Mesh, n_pixels: int = 256, spp: int = 8) -> np.ndarray:
     sharding = NamedSharding(mesh, P(TILE_AXIS))
     px_d = jax.device_put(jnp.asarray(px), sharding)
     py_d = jax.device_put(jnp.asarray(py), sharding)
-    radiance, rays = step(px_d, py_d)
+    act_d = jax.device_put(jnp.ones(n_pixels, bool), sharding)
+    radiance, rays = step(px_d, py_d, act_d)
     jax.block_until_ready(radiance)
     return np.asarray(radiance)
