@@ -15,6 +15,8 @@ def _run(args, cwd, timeout=420, env_extra=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    # the package is run from the repo tree, not an installed wheel
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     if env_extra:
         env.update(env_extra)
     return subprocess.run(

@@ -15,6 +15,7 @@ def _env():
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     env.pop("DISPLAY", None)
     env.pop("WAYLAND_DISPLAY", None)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
 

@@ -76,6 +76,31 @@ def test_occlusion_parity(bunny_ds):
     )
 
 
+def test_closest_hit_parity_wide_tile(bunny_ds, monkeypatch):
+    """K>1 walk tiles (scalar-program amortization) stay bit-faithful."""
+    monkeypatch.setenv("TPU_RT_TILE_K", "4")
+    ds = bunny_ds
+    B = 4096
+    o, d = _rays(ds, B, 3)
+    tmin = jnp.full(B, 1e-3)
+    tmax = jnp.full(B, jnp.inf)
+    t_ref, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)
+    t_p, p_p, visits = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool), with_visits=True,
+    )
+    assert visits.shape == (1,) and int(visits[0]) > 0
+    p_ref, p_p = np.asarray(p_ref), np.asarray(p_p)
+    tri_lanes = p_ref < ds.meta.n_tris
+    np.testing.assert_array_equal(p_ref[tri_lanes], p_p[tri_lanes])
+    t_p = np.where(p_p >= 0, np.asarray(t_p), np.inf)
+    np.testing.assert_allclose(
+        t_p[tri_lanes & (p_p >= 0)],
+        np.asarray(t_ref)[tri_lanes & (p_p >= 0)],
+        rtol=1e-5,
+    )
+
+
 def test_inactive_lanes_stay_missed(bunny_ds):
     ds = bunny_ds
     B = 1024

@@ -408,16 +408,22 @@ QUAD_F = 32                      # f32 per quad record
 QUADS_PER_ROW = LANE // QUAD_F   # 4
 
 
-def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
+def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
+                 tsub: int = SUB, count_visits: bool = False):
     """v3: BVH4 walk — each record holds up to 4 child boxes (two collapsed
     BVH2 levels), so iterations halve vs the pair walk. Hit children are
     visited in tile-majority near-first order (per-half split axes stored
-    in the record); leaf children intersect immediately at the parent."""
+    in the record); leaf children intersect immediately at the parent.
+
+    tsub widens the walk tile to (tsub, LANE) lanes: the per-visit SCALAR
+    program (the measured round-1 bottleneck, docs/PERF_LOG.md) is shared
+    across tsub//8 vector subtiles, amortizing the ~0.9µs/visit scalar
+    latency over K× more rays at the cost of a larger node-set union."""
 
     def kernel(
         quads_ref, tris_ref,
         ox, oy, oz, dx, dy, dz, tmn, tmx, act,
-        t_out, best_out, stack_ref,
+        t_out, best_out, visits_out, stack_ref,
     ):
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
@@ -428,8 +434,8 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
         def leaf_phase(meta, hit, t_best, best):
             count = meta & 7
             first = meta >> 3
-            cur_t = jnp.full((SUB, LANE), INF)
-            cur_k = jnp.zeros((SUB, LANE), jnp.int32)
+            cur_t = jnp.full((tsub, LANE), INF)
+            cur_k = jnp.zeros((tsub, LANE), jnp.int32)
             for k in range(MAX_LEAF_SIZE):
                 ti = jnp.minimum(first + k, n_tris - 1)
                 trow = tris_ref[pl.ds(ti // TRIS_PER_ROW, 1), :]
@@ -467,7 +473,7 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
             return t_best, best
 
         t_best0 = tmx[:]
-        best0 = jnp.full((SUB, LANE), -1, jnp.int32)
+        best0 = jnp.full((tsub, LANE), -1, jnp.int32)
 
         if root_meta < 0:
             t_out[:] = t_best0
@@ -492,7 +498,9 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
             return c[0] != DONE
 
         def body(c):
-            cur, sp, t_best, best = c
+            cur, sp, nv, t_best, best = c
+            if count_visits:
+                nv = nv + 1
             nid = cur >> 3
             row = quads_ref[pl.ds(nid // QUADS_PER_ROW, 1), :]
             rec = _select_record(row, nid % QUADS_PER_ROW,
@@ -513,8 +521,8 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
 
             hits = []
             for j in range(4):
-                t0 = jnp.full((SUB, LANE), -INF)
-                t1 = jnp.full((SUB, LANE), INF)
+                t0 = jnp.full((tsub, LANE), -INF)
+                t1 = jnp.full((tsub, LANE), INF)
                 for ax in range(3):
                     a = (rec[0, j * 6 + ax] - o[ax]) * inv[ax]
                     b = (rec[0, j * 6 + 3 + ax] - o[ax]) * inv[ax]
@@ -629,18 +637,23 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int):
             if early_exit:
                 done = jnp.all((best >= 0) | ~live0)
                 cur = jnp.where(done, DONE, cur)
-            return cur, sp, t_best, best
+            return cur, sp, nv, t_best, best
 
-        _, _, t_best, best = jax.lax.while_loop(
-            cond, body, (jnp.int32(root_meta), jnp.int32(0), t_best0, best0)
+        _, _, nv, t_best, best = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(root_meta), jnp.int32(0), jnp.int32(0),
+             t_best0, best0),
         )
         t_out[:] = t_best
         best_out[:] = best
+        if count_visits:
+            visits_out[0] = nv
 
     return kernel
 
 
-def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g):
+def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g,
+                     tsub=SUB, count_visits=False):
     """Wrap a per-tile kernel body into a single gridless invocation.
 
     With a grid, Pallas re-stages the full node/tri tables from HBM on
@@ -648,14 +661,15 @@ def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g):
     dominated kernel time. Gridless, the tables are fetched once and an
     in-kernel fori loops over ray tiles with dynamic sublane slices.
     """
-    tile_kernel = tile_kernel_factory(early_exit, root_meta, n_tris)
+    tile_kernel = tile_kernel_factory(early_exit, root_meta, n_tris,
+                                      tsub=tsub, count_visits=count_visits)
 
     def kernel(table_ref, tris_ref, *refs):
-        (ox, oy, oz, dx, dy, dz, tmn, tmx, act, t_out, best_out,
+        (ox, oy, oz, dx, dy, dz, tmn, tmx, act, t_out, best_out, visits_out,
          stack_ref) = refs
 
         def run_tile(i, _):
-            sl = pl.ds(i * SUB, SUB)
+            sl = pl.ds(i * tsub, tsub)
 
             class View:
                 def __init__(self, ref):
@@ -670,11 +684,17 @@ def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g):
                     assert idx == slice(None)
                     self.ref[sl, :] = v
 
+            class VisitView:
+                """Row i of the (g, 1) per-tile visit-count output."""
+
+                def __setitem__(self, idx, v):
+                    visits_out[i, 0] = v
+
             tile_kernel(
                 table_ref, tris_ref,
                 View(ox), View(oy), View(oz), View(dx), View(dy), View(dz),
                 View(tmn), View(tmx), View(act),
-                View(t_out), View(best_out), stack_ref,
+                View(t_out), View(best_out), VisitView(), stack_ref,
             )
             return 0
 
@@ -685,18 +705,21 @@ def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g):
 
 @partial(jax.jit, static_argnums=(0, 3))
 def _quad_tiles(shape_key, quads_pk, tris_pk, early_exit, cols):
-    root_meta, n_tris, interpret = shape_key
-    g = cols[0].shape[0] // SUB
-    kernel = _gridless_kernel(_quad_kernel, early_exit, root_meta, n_tris, g)
+    root_meta, n_tris, interpret, tsub, count_visits = shape_key
+    g = cols[0].shape[0] // tsub
+    kernel = _gridless_kernel(_quad_kernel, early_exit, root_meta, n_tris, g,
+                              tsub=tsub, count_visits=count_visits)
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((g * SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((g * SUB, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((g * tsub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g * tsub, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((g, 1), jnp.int32),
         ),
         in_specs=[full_spec] * 11,
-        out_specs=(full_spec, full_spec),
+        out_specs=(full_spec, full_spec,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
         interpret=interpret,
     )(quads_pk, tris_pk, *cols)
@@ -754,11 +777,27 @@ def _walk_tiles(shape_key, nodes_pk, tris_pk, early_exit, cols):
     return out
 
 
+def tile_k() -> int:
+    """Walk-tile width multiplier: a tile is (8*K, 128) = K*1024 rays.
+
+    K>1 amortizes the per-visit scalar program across K vector subtiles
+    (docs/PERF_LOG.md round-2 experiments)."""
+    import os as _o
+
+    return max(1, int(_o.environ.get("TPU_RT_TILE_K", "1")))
+
+
 def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
-                          early_exit=False):
-    """Triangle-closest-hit via the lockstep kernel. Returns (t, best)."""
+                          early_exit=False, with_visits=False):
+    """Triangle-closest-hit via the lockstep kernel. Returns (t, best).
+
+    with_visits=True (quad kernel only) additionally returns the per-tile
+    node-visit counts (g,) — diagnostics for BVH quality / kernel tuning.
+    """
     B = origin.shape[0]
-    pad = (-B) % TILE
+    k = tile_k()
+    tsub = SUB * k
+    pad = (-B) % (tsub * LANE)
     total = B + pad
 
     def col(x, fill):
@@ -776,14 +815,17 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
     import os as _o
 
     kind = _o.environ.get("TPU_RT_PALLAS_KERNEL", "quad")
+    visits = None
     if kind == "quad":
         if ds.meta.bvh4_stack > STACK_CAP:
             raise ValueError(
                 f"BVH4 stack bound {ds.meta.bvh4_stack} exceeds {STACK_CAP}"
             )
-        shape_key = (int(ds.meta.root_meta4), int(ds.meta.n_tris), interpret)
-        t, best = _quad_tiles(shape_key, ds.bvh4_recs_pk, ds.tri_pack_pk,
-                              early_exit, cols)
+        shape_key = (int(ds.meta.root_meta4), int(ds.meta.n_tris), interpret,
+                     tsub, with_visits)
+        t, best, visits = _quad_tiles(
+            shape_key, ds.bvh4_recs_pk, ds.tri_pack_pk, early_exit, cols
+        )
     elif kind == "pair":
         if ds.meta.bvh2_depth > STACK_CAP:
             raise ValueError(
@@ -799,4 +841,6 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
                               early_exit, cols)
     t = t.reshape(-1)[:B]
     best = best.reshape(-1)[:B]
+    if with_visits:
+        return t, best, visits[:, 0]
     return t, best

@@ -7,6 +7,7 @@ tolerance). skip_visual tests only record timing.
 """
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
@@ -78,9 +79,12 @@ def run_single_test(
     cmd = build_command(spec, output_path.resolve(), renderer_args, backend, base_dir)
     t0 = time.perf_counter()
     try:
+        env = dict(os.environ)
+        repo = Path(__file__).resolve().parents[2]
+        env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=TIMEOUT_SECONDS,
-            cwd=base_dir,
+            cwd=base_dir, env=env,
         )
     except subprocess.TimeoutExpired:
         return TestResult(
