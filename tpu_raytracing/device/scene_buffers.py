@@ -16,8 +16,9 @@ so they are brute-force intersected outside the BVH.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
@@ -96,6 +97,31 @@ class SceneMeta:
     # quad (BVH4) walk: root meta + stack bound
     root_meta4: int = -1
     bvh4_stack: int = 4
+    # rowrec (switch-free) walk: root meta in rowrec leaf numbering
+    root_meta4r: int = -1
+    # instancing (TLAS-over-shared-BLAS equivalent): per-BLAS statics
+    # (n_tris, root_meta, bvh2_depth, root_meta4, bvh4_stack, n_nodes,
+    #  root_meta4r)
+    blas_meta: Tuple[Tuple[int, ...], ...] = ()
+    # per-instance statics (blas_id, vtri_base, n_tris, shade_off)
+    instances: Tuple[Tuple[int, int, int, int], ...] = ()
+    # first virtual-triangle prim id (= n_tris + padded sphere count)
+    inst_vtri_base0: int = 0
+
+
+class BlasTables(NamedTuple):
+    """Device tables of one shared BLAS (object-space geometry, built once
+    regardless of instance count — counterpart of the reference's IAS over
+    shared GAS, csrc/host/scene.cu:162-250 / accel.rs:119-214)."""
+
+    bvh2_rows: jax.Array     # (M, 16) child-pair rows (XLA stack walk)
+    tri_pack: jax.Array      # (T, 9)
+    bvh4_recs_pk: jax.Array  # packed quad records (Pallas)
+    bvh2_rows_pk: jax.Array
+    bvh_nodes_pk: jax.Array
+    tri_pack_pk: jax.Array
+    bvh4_rows: jax.Array     # (K, 128) switch-free quad record rows
+    tri_rows: jax.Array      # (L, 128) 8-aligned leaf tri rows
 
 
 @jax.tree_util.register_dataclass
@@ -132,6 +158,8 @@ class DeviceScene:
     tri_pack_pk: jax.Array    # (ceil(T/8), 128) f32, 8 tri records/row
     bvh2_rows_pk: jax.Array   # (ceil(M/8), 128) f32, 8 child-pair records/row
     bvh4_recs_pk: jax.Array   # (ceil(K/4), 128) f32, 4 quad records/row
+    bvh4_rows: jax.Array      # (K, 128) f32, ONE quad record/row (no switch)
+    tri_rows: jax.Array       # (L, 128) f32, 8-aligned leaf tri rows
     # single-gather shading rows (XLA gathers cost ~the same per ROW
     # regardless of width, so 13 narrow gathers fold into 1 wide one):
     # tri_shade (T, 32): p0 p1 p2 n0 n1 n2 uv0 uv1 uv2 | bits: mat light
@@ -194,6 +222,11 @@ class DeviceScene:
     # scene bounds
     bounds_center: jax.Array
     bounds_radius: jax.Array
+    # instancing: shared-BLAS tables + per-instance transforms
+    blas_tables: Tuple[BlasTables, ...]
+    inst_xf: jax.Array        # (max(1,I), 32) f32: [o2w 16 | w2o 16] row-major
+    inst_aabb_min: jax.Array  # (max(1,I), 3) instance world AABB
+    inst_aabb_max: jax.Array
     # static (hashable; not a pytree leaf)
     meta: SceneMeta = field(metadata=dict(static=True))
 
@@ -359,6 +392,52 @@ def _bvh4_layout(bvh):
     return recs, 0, bound
 
 
+def _rowrec_layout(recs: np.ndarray, tri_pack: np.ndarray, root_meta4: int):
+    """One quad record per 128-lane row + 8-aligned leaf triangle rows.
+
+    A dynamic-sublane row read replaces the per-visit lax.switch record
+    select (measured ~144 ns per switch by the round-2 in-situ probes —
+    the dominant share of the kernel's per-visit cost), and each leaf
+    phase reads ONE row and slices its tri slots statically instead of
+    issuing 4 more switches. Slot field 9 carries the original tri index
+    so winners keep global prim numbering.
+
+    Returns (quad_rows (K, 128) f32, tri_rows (L, 128) f32, root_meta4r).
+    """
+    k = recs.shape[0]
+    rows = np.zeros((k, 128), F)
+    rows[:, :32] = recs
+    metas = recs[:, 24:28].view(np.int32).copy()
+
+    tri_rows = []
+
+    def leaf_row(meta: int) -> int:
+        first, count = meta >> 3, meta & 7
+        row = np.zeros(128, F)
+        for s in range(count):
+            row[s * 16 : s * 16 + 9] = tri_pack[first + s, :9]
+            row[s * 16 + 9] = np.int32(first + s).view(F)
+        tri_rows.append(row)
+        return ((len(tri_rows) - 1) << 3) | count
+
+    if root_meta4 >= 0 and (root_meta4 & 7):
+        root_meta4 = leaf_row(root_meta4)
+    else:
+        for r in range(k):
+            for j in range(4):
+                m = int(metas[r, j])
+                if m >= 0 and (m & 7):
+                    metas[r, j] = leaf_row(m)
+        rows[:, 24:28] = metas.view(F)
+
+    if not tri_rows:
+        tri_rows.append(np.zeros(128, F))
+    tri_rows = np.stack(tri_rows).astype(F)
+    tri_rows = _pad_rows(tri_rows, _round_up(tri_rows.shape[0], 8))
+    rows = _pad_rows(rows, _round_up(rows.shape[0], 8))
+    return rows, tri_rows, int(root_meta4)
+
+
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     if a.shape[0] >= n:
         return a
@@ -416,83 +495,53 @@ def _build_mip_pyramid(data: np.ndarray):
     return levels
 
 
-def compile_scene(scene: Scene) -> DeviceScene:
-    prims = _flatten_primitives(scene)
+class _TriAccel(NamedTuple):
+    """Host-side accel tables for one triangle set (world soup or one BLAS)."""
 
-    # ---------------- triangles + spheres
-    tp0, tp1, tp2 = [], [], []
-    tn0, tn1, tn2 = [], [], []
-    tuv0, tuv1, tuv2 = [], [], []
-    tmat, tlight, thasn, thasuv = [], [], [], []
-    sph = []
+    tri_p0: np.ndarray
+    tri_p1: np.ndarray
+    tri_p2: np.ndarray
+    tri_n0: np.ndarray
+    tri_n1: np.ndarray
+    tri_n2: np.ndarray
+    tri_uv0: np.ndarray
+    tri_uv1: np.ndarray
+    tri_uv2: np.ndarray
+    tri_mat: np.ndarray
+    tri_light: np.ndarray
+    tri_has_n: np.ndarray
+    tri_has_uv: np.ndarray
+    bvh_min: np.ndarray
+    bvh_max: np.ndarray
+    bvh_first: np.ndarray
+    bvh_count: np.ndarray
+    bvh_skip: np.ndarray
+    bvh_nodes: np.ndarray
+    tri_pack: np.ndarray
+    bvh_nodes_pk: np.ndarray
+    tri_pack_pk: np.ndarray
+    bvh2_rows: np.ndarray
+    bvh2_rows_pk: np.ndarray
+    bvh4_recs_pk: np.ndarray
+    n_tris: int
+    n_nodes: int
+    root_meta: int
+    bvh2_depth: int
+    root_meta4: int
+    bvh4_stack: int
+    root_min: np.ndarray
+    root_max: np.ndarray
+    bvh4_rows: np.ndarray   # (K, 128) one quad record per row
+    tri_rows: np.ndarray    # (L, 128) 8-aligned leaf tri rows
+    root_meta4r: int        # root meta in rowrec leaf numbering
 
-    for prim, prim_idx, t in prims:
-        mat_id = prim.material if prim.material is not None else 0
-        light_id = prim.area_light if prim.area_light is not None else -1
-        shape = prim.shape
-        if isinstance(shape, Sphere):
-            sph.append((shape, t, mat_id, light_id))
-            continue
-        assert isinstance(shape, TriangleMesh)
-        mesh = shape.mesh
-        nt = mesh.tris.shape[0]
-        if nt == 0:
-            continue
-        m = t.forward
-        verts_h = mesh.vertices @ m[:3, :3].T + m[:3, 3]
-        tri = mesh.tris.astype(np.int64)
-        tp0.append(verts_h[tri[:, 0]])
-        tp1.append(verts_h[tri[:, 1]])
-        tp2.append(verts_h[tri[:, 2]])
-        if mesh.has_normals:
-            nm = _normal_matrix(t)
-            norms = mesh.normals @ nm.T
-            tn0.append(norms[tri[:, 0]])
-            tn1.append(norms[tri[:, 1]])
-            tn2.append(norms[tri[:, 2]])
-            thasn.append(np.ones(nt, bool))
-        else:
-            z = np.zeros((nt, 3), F)
-            tn0.append(z)
-            tn1.append(z)
-            tn2.append(z)
-            thasn.append(np.zeros(nt, bool))
-        if mesh.has_uvs:
-            tuv0.append(mesh.uvs[tri[:, 0]])
-            tuv1.append(mesh.uvs[tri[:, 1]])
-            tuv2.append(mesh.uvs[tri[:, 2]])
-            thasuv.append(np.ones(nt, bool))
-        else:
-            z = np.zeros((nt, 2), F)
-            tuv0.append(z)
-            tuv1.append(z)
-            tuv2.append(z)
-            thasuv.append(np.zeros(nt, bool))
-        tmat.append(np.full(nt, mat_id, np.int32))
-        tlight.append(np.full(nt, light_id, np.int32))
 
-    def cat(parts, shape, dtype=F):
-        if parts:
-            return np.concatenate(parts, axis=0).astype(dtype)
-        return np.zeros((0, *shape), dtype)
-
-    tri_p0 = cat(tp0, (3,))
-    tri_p1 = cat(tp1, (3,))
-    tri_p2 = cat(tp2, (3,))
-    tri_n0 = cat(tn0, (3,))
-    tri_n1 = cat(tn1, (3,))
-    tri_n2 = cat(tn2, (3,))
-    tri_uv0 = cat(tuv0, (2,))
-    tri_uv1 = cat(tuv1, (2,))
-    tri_uv2 = cat(tuv2, (2,))
-    tri_mat = cat(tmat, (), np.int32)
-    tri_light = cat(tlight, (), np.int32)
-    tri_has_n = cat(thasn, (), bool)
-    tri_has_uv = cat(thasuv, (), bool)
-
+def _accel_tables(
+    tri_p0, tri_p1, tri_p2, tri_n0, tri_n1, tri_n2,
+    tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_light, tri_has_n, tri_has_uv,
+) -> _TriAccel:
+    """Build every traversal layout over one triangle set (BVH order)."""
     n_tris = tri_p0.shape[0]
-
-    # ---------------- BVH over world-space triangles
     prim_min = np.minimum(np.minimum(tri_p0, tri_p1), tri_p2)
     prim_max = np.maximum(np.maximum(tri_p0, tri_p1), tri_p2)
     bvh = build_bvh(prim_min, prim_max)
@@ -547,6 +596,204 @@ def compile_scene(scene: Scene) -> DeviceScene:
     bvh2_rows_pk = bvh2_rows.reshape(-1, 8 * 16)  # 8 records of 16 f32
     bvh4_recs, root_meta4, bvh4_stack = _bvh4_layout(bvh)
     bvh4_recs_pk = bvh4_recs.reshape(-1, 4 * 32)  # 4 records of 32 f32
+    bvh4_rows, tri_rows, root_meta4r = _rowrec_layout(
+        bvh4_recs, tri_pack, root_meta4
+    )
+
+    if n_tris:
+        root_min = prim_min.min(axis=0).astype(F)
+        root_max = prim_max.max(axis=0).astype(F)
+    else:
+        root_min = np.full(3, np.inf, F)
+        root_max = np.full(3, -np.inf, F)
+
+    return _TriAccel(
+        tri_p0, tri_p1, tri_p2, tri_n0, tri_n1, tri_n2,
+        tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_light, tri_has_n, tri_has_uv,
+        bvh_min, bvh_max, bvh_first, bvh_count, bvh_skip,
+        bvh_nodes, tri_pack, bvh_nodes_pk, tri_pack_pk,
+        bvh2_rows, bvh2_rows_pk, bvh4_recs_pk,
+        int(n_tris), int(n_nodes), int(root_meta), int(bvh2_depth),
+        int(root_meta4), int(bvh4_stack), root_min, root_max,
+        bvh4_rows, tri_rows, int(root_meta4r),
+    )
+
+
+def _tri_shade_rows(a: _TriAccel) -> np.ndarray:
+    """(T, 32) single-gather shading rows from accel-ordered tri arrays."""
+    sh = np.zeros((a.tri_p0.shape[0], 32), F)
+    sh[:, 0:3] = a.tri_p0
+    sh[:, 3:6] = a.tri_p1
+    sh[:, 6:9] = a.tri_p2
+    sh[:, 9:12] = a.tri_n0
+    sh[:, 12:15] = a.tri_n1
+    sh[:, 15:18] = a.tri_n2
+    sh[:, 18:20] = a.tri_uv0
+    sh[:, 20:22] = a.tri_uv1
+    sh[:, 22:24] = a.tri_uv2
+    sh[:, 24] = a.tri_mat.astype(np.int32).view(F)
+    sh[:, 25] = a.tri_light.astype(np.int32).view(F)
+    sh[:, 26] = a.tri_has_n.astype(np.int32).view(F)
+    sh[:, 27] = a.tri_has_uv.astype(np.int32).view(F)
+    return sh
+
+
+def _mesh_tri_arrays(mesh, mat_id: int, light_id: int):
+    """Object-space per-triangle SoA arrays of one mesh (no transform)."""
+    tri = mesh.tris.astype(np.int64)
+    nt = tri.shape[0]
+    v = mesh.vertices.astype(F)
+    p0, p1, p2 = v[tri[:, 0]], v[tri[:, 1]], v[tri[:, 2]]
+    if mesh.has_normals:
+        n = mesh.normals.astype(F)
+        n0, n1, n2 = n[tri[:, 0]], n[tri[:, 1]], n[tri[:, 2]]
+        has_n = np.ones(nt, bool)
+    else:
+        n0 = n1 = n2 = np.zeros((nt, 3), F)
+        has_n = np.zeros(nt, bool)
+    if mesh.has_uvs:
+        uv = mesh.uvs.astype(F)
+        uv0, uv1, uv2 = uv[tri[:, 0]], uv[tri[:, 1]], uv[tri[:, 2]]
+        has_uv = np.ones(nt, bool)
+    else:
+        uv0 = uv1 = uv2 = np.zeros((nt, 2), F)
+        has_uv = np.zeros(nt, bool)
+    return (
+        p0, p1, p2, n0, n1, n2, uv0, uv1, uv2,
+        np.full(nt, mat_id, np.int32), np.full(nt, light_id, np.int32),
+        has_n, has_uv,
+    )
+
+
+# shared meshes below this size are cheaper to duplicate world-space than to
+# pay an extra per-instance kernel dispatch
+INSTANCE_MIN_TRIS = int(os.environ.get("TPU_RT_INSTANCE_MIN_TRIS", "16"))
+
+
+def compile_scene(scene: Scene) -> DeviceScene:
+    prims = _flatten_primitives(scene)
+
+    # ---------------- triangles + spheres
+    tp0, tp1, tp2 = [], [], []
+    tn0, tn1, tn2 = [], [], []
+    tuv0, tuv1, tuv2 = [], [], []
+    tmat, tlight, thasn, thasuv = [], [], [], []
+    sph = []
+
+    # shared-prim detection: a BasicPrimitive reached through >1 transform
+    # chain is an INSTANCE group — its mesh is built once as an object-space
+    # BLAS and traversed per instance with transformed rays (reference:
+    # accel.rs:119-214 nested BVHs / scene.cu:162-250 IAS over shared GAS).
+    # Emissive prims and tiny meshes are baked world-space instead.
+    occ_count: dict = {}
+    for _, prim_idx, _ in prims:
+        occ_count[prim_idx] = occ_count.get(prim_idx, 0) + 1
+    inst_groups: dict = {}  # prim_idx -> [transforms]
+
+    for prim, prim_idx, t in prims:
+        mat_id = prim.material if prim.material is not None else 0
+        light_id = prim.area_light if prim.area_light is not None else -1
+        shape = prim.shape
+        if isinstance(shape, Sphere):
+            sph.append((shape, t, mat_id, light_id))
+            continue
+        assert isinstance(shape, TriangleMesh)
+        if (
+            occ_count[prim_idx] > 1
+            and prim.area_light is None
+            and shape.mesh.tris.shape[0] >= INSTANCE_MIN_TRIS
+        ):
+            inst_groups.setdefault(prim_idx, (prim, []))[1].append(t)
+            continue
+        mesh = shape.mesh
+        nt = mesh.tris.shape[0]
+        if nt == 0:
+            continue
+        m = t.forward
+        verts_h = mesh.vertices @ m[:3, :3].T + m[:3, 3]
+        tri = mesh.tris.astype(np.int64)
+        tp0.append(verts_h[tri[:, 0]])
+        tp1.append(verts_h[tri[:, 1]])
+        tp2.append(verts_h[tri[:, 2]])
+        if mesh.has_normals:
+            nm = _normal_matrix(t)
+            norms = mesh.normals @ nm.T
+            tn0.append(norms[tri[:, 0]])
+            tn1.append(norms[tri[:, 1]])
+            tn2.append(norms[tri[:, 2]])
+            thasn.append(np.ones(nt, bool))
+        else:
+            z = np.zeros((nt, 3), F)
+            tn0.append(z)
+            tn1.append(z)
+            tn2.append(z)
+            thasn.append(np.zeros(nt, bool))
+        if mesh.has_uvs:
+            tuv0.append(mesh.uvs[tri[:, 0]])
+            tuv1.append(mesh.uvs[tri[:, 1]])
+            tuv2.append(mesh.uvs[tri[:, 2]])
+            thasuv.append(np.ones(nt, bool))
+        else:
+            z = np.zeros((nt, 2), F)
+            tuv0.append(z)
+            tuv1.append(z)
+            tuv2.append(z)
+            thasuv.append(np.zeros(nt, bool))
+        tmat.append(np.full(nt, mat_id, np.int32))
+        tlight.append(np.full(nt, light_id, np.int32))
+
+    def cat(parts, shape, dtype=F):
+        if parts:
+            return np.concatenate(parts, axis=0).astype(dtype)
+        return np.zeros((0, *shape), dtype)
+
+    acc = _accel_tables(
+        cat(tp0, (3,)), cat(tp1, (3,)), cat(tp2, (3,)),
+        cat(tn0, (3,)), cat(tn1, (3,)), cat(tn2, (3,)),
+        cat(tuv0, (2,)), cat(tuv1, (2,)), cat(tuv2, (2,)),
+        cat(tmat, (), np.int32), cat(tlight, (), np.int32),
+        cat(thasn, (), bool), cat(thasuv, (), bool),
+    )
+    n_tris = acc.n_tris
+    (tri_p0, tri_p1, tri_p2, tri_n0, tri_n1, tri_n2,
+     tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_light,
+     tri_has_n, tri_has_uv) = acc[:13]
+    (bvh_min, bvh_max, bvh_first, bvh_count, bvh_skip, bvh_nodes, tri_pack,
+     bvh_nodes_pk, tri_pack_pk, bvh2_rows, bvh2_rows_pk,
+     bvh4_recs_pk) = acc[13:25]
+    n_nodes, root_meta, bvh2_depth = acc.n_nodes, acc.root_meta, acc.bvh2_depth
+    root_meta4, bvh4_stack = acc.root_meta4, acc.bvh4_stack
+
+    # ---------------- shared BLAS + instance tables
+    blas_accels: list[_TriAccel] = []
+    blas_meta = []
+    instances = []          # (blas_id, vtri_base placeholder, n_tris, shade_off)
+    inst_mats = []          # (o2w 4x4, w2o 4x4)
+    inst_aabbs = []         # (min3, max3) world
+    blas_shade_rows = []
+    shade_off = _round_up(n_tris, 8)  # main tri_shade rows come first (padded)
+    for prim_idx, (prim, transforms) in inst_groups.items():
+        mat_id = prim.material if prim.material is not None else 0
+        b = _accel_tables(*_mesh_tri_arrays(prim.shape.mesh, mat_id, -1))
+        blas_id = len(blas_accels)
+        blas_accels.append(b)
+        blas_meta.append((b.n_tris, b.root_meta, b.bvh2_depth,
+                          b.root_meta4, b.bvh4_stack, b.n_nodes,
+                          b.root_meta4r))
+        blas_shade_rows.append(_tri_shade_rows(b))
+        corners = np.array(
+            [[b.root_min[0] if sx < 0 else b.root_max[0],
+              b.root_min[1] if sy < 0 else b.root_max[1],
+              b.root_min[2] if sz < 0 else b.root_max[2]]
+             for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], F
+        )
+        for t in transforms:
+            m = t.forward
+            wc = corners @ m[:3, :3].T + m[:3, 3]
+            inst_aabbs.append((wc.min(axis=0), wc.max(axis=0)))
+            inst_mats.append((m.astype(F), t.inverse.astype(F)))
+            instances.append((blas_id, 0, b.n_tris, shade_off))
+        shade_off += blas_shade_rows[-1].shape[0]
 
     # ---------------- spheres
     n_spheres = len(sph)
@@ -565,12 +812,24 @@ def compile_scene(scene: Scene) -> DeviceScene:
         sph_mat[i] = mat_id
         sph_light[i] = light_id
 
+    # virtual-triangle prim id ranges: [0, n_tris) main world tris,
+    # [n_tris, n_tris + s_pad) spheres, then one contiguous block per
+    # instance (decoded back to shared BLAS rows in hit_details)
+    inst_vtri_base0 = n_tris + s_pad
+    base = inst_vtri_base0
+    for i, (blas_id, _, nt_b, so) in enumerate(instances):
+        instances[i] = (blas_id, base, nt_b, so)
+        base += nt_b
+
     # ---------------- scene bounds (world AABB of all geometry)
     lo = np.full(3, np.inf)
     hi = np.full(3, -np.inf)
     if n_tris:
-        lo = np.minimum(lo, prim_min.min(axis=0))
-        hi = np.maximum(hi, prim_max.max(axis=0))
+        lo = np.minimum(lo, acc.root_min)
+        hi = np.maximum(hi, acc.root_max)
+    for amin, amax in inst_aabbs:
+        lo = np.minimum(lo, amin)
+        hi = np.maximum(hi, amax)
     for i in range(n_spheres):
         c, r = sph_center[i], sph_radius[i]
         corners = c[None, :] + r * np.array(
@@ -799,21 +1058,11 @@ def compile_scene(scene: Scene) -> DeviceScene:
         em_area = np.ones(1, F)
         em_has_n = np.zeros(1, bool)
 
-    # single-gather shading rows
-    tri_shade = np.zeros((tri_p0.shape[0], 32), F)
-    tri_shade[:, 0:3] = tri_p0
-    tri_shade[:, 3:6] = tri_p1
-    tri_shade[:, 6:9] = tri_p2
-    tri_shade[:, 9:12] = tri_n0
-    tri_shade[:, 12:15] = tri_n1
-    tri_shade[:, 15:18] = tri_n2
-    tri_shade[:, 18:20] = tri_uv0
-    tri_shade[:, 20:22] = tri_uv1
-    tri_shade[:, 22:24] = tri_uv2
-    tri_shade[:, 24] = tri_mat.astype(np.int32).view(F)
-    tri_shade[:, 25] = tri_light.astype(np.int32).view(F)
-    tri_shade[:, 26] = tri_has_n.astype(np.int32).view(F)
-    tri_shade[:, 27] = tri_has_uv.astype(np.int32).view(F)
+    # single-gather shading rows: main world-space rows, then each BLAS's
+    # object-space rows (indexed via the per-instance shade offset)
+    tri_shade = _tri_shade_rows(acc)
+    if blas_shade_rows:
+        tri_shade = np.concatenate([tri_shade, *blas_shade_rows], axis=0)
 
     em_shade = np.zeros((em_p0.shape[0], 24), F)
     em_shade[:, 0:3] = em_p0
@@ -867,6 +1116,32 @@ def compile_scene(scene: Scene) -> DeviceScene:
         n_bvh_nodes=int(n_nodes),
         root_meta4=int(root_meta4),
         bvh4_stack=int(bvh4_stack),
+        root_meta4r=int(acc.root_meta4r),
+        blas_meta=tuple(blas_meta),
+        instances=tuple(instances),
+        inst_vtri_base0=int(inst_vtri_base0),
+    )
+
+    n_inst = len(instances)
+    inst_xf = np.zeros((max(1, n_inst), 32), F)
+    inst_aabb_min = np.zeros((max(1, n_inst), 3), F)
+    inst_aabb_max = np.zeros((max(1, n_inst), 3), F)
+    for i, (o2w, w2o) in enumerate(inst_mats):
+        inst_xf[i, :16] = o2w.reshape(-1)
+        inst_xf[i, 16:] = w2o.reshape(-1)
+        inst_aabb_min[i], inst_aabb_max[i] = inst_aabbs[i]
+    blas_tables = tuple(
+        BlasTables(
+            bvh2_rows=jnp.asarray(b.bvh2_rows),
+            tri_pack=jnp.asarray(b.tri_pack),
+            bvh4_recs_pk=jnp.asarray(b.bvh4_recs_pk),
+            bvh2_rows_pk=jnp.asarray(b.bvh2_rows_pk),
+            bvh_nodes_pk=jnp.asarray(b.bvh_nodes_pk),
+            tri_pack_pk=jnp.asarray(b.tri_pack_pk),
+            bvh4_rows=jnp.asarray(b.bvh4_rows),
+            tri_rows=jnp.asarray(b.tri_rows),
+        )
+        for b in blas_accels
     )
 
     dev = lambda a: jnp.asarray(a)  # noqa: E731
@@ -882,6 +1157,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh_nodes=dev(bvh_nodes), tri_pack=dev(tri_pack),
         bvh_nodes_pk=dev(bvh_nodes_pk), tri_pack_pk=dev(tri_pack_pk),
         bvh2_rows_pk=dev(bvh2_rows_pk), bvh4_recs_pk=dev(bvh4_recs_pk),
+        bvh4_rows=dev(acc.bvh4_rows), tri_rows=dev(acc.tri_rows),
         bvh2_rows=dev(bvh2_rows),
         sph_center=dev(sph_center), sph_radius=dev(sph_radius),
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),
@@ -906,6 +1182,10 @@ def compile_scene(scene: Scene) -> DeviceScene:
         cam_min_diff=dev(cam_min_diff),
         bounds_center=dev(bounds_center),
         bounds_radius=dev(bounds_radius),
+        blas_tables=blas_tables,
+        inst_xf=dev(inst_xf),
+        inst_aabb_min=dev(inst_aabb_min),
+        inst_aabb_max=dev(inst_aabb_max),
         meta=meta,
     )
 

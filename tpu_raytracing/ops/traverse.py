@@ -49,7 +49,8 @@ def _use_pallas(ds) -> bool:
 
 
 def _intersect_stack(
-    ds, origin, direction, t_min, t_max, t_best, best, active, early_exit
+    ds, origin, direction, t_min, t_max, t_best, best, active, early_exit,
+    blas=None,
 ):
     """Near-first stack traversal over child-pair rows (ds.bvh2_rows).
 
@@ -63,11 +64,21 @@ def _intersect_stack(
     Leaf phases are batched while-while style: the inner loop parks every
     live lane on a leaf meta, the outer loop intersects parked leaves.
     meta encoding: leaf -> (first<<3)|count (count>0), internal -> row<<3.
+
+    blas selects a shared-BLAS accel (instanced geometry, object-space
+    rays) instead of the main world-space accel; `best` is BLAS-local.
     """
     B = origin.shape[0]
-    n_tris = ds.meta.n_tris
-    D = max(int(ds.meta.bvh2_depth), 1)
-    root = ds.meta.root_meta
+    if blas is None:
+        bvh2_rows, tri_pack = ds.bvh2_rows, ds.tri_pack
+        n_tris = ds.meta.n_tris
+        D = max(int(ds.meta.bvh2_depth), 1)
+        root = ds.meta.root_meta
+    else:
+        bt = ds.blas_tables[blas]
+        bvh2_rows, tri_pack = bt.bvh2_rows, bt.tri_pack
+        n_tris, root, bvh2_depth = ds.meta.blas_meta[blas][:3]
+        D = max(int(bvh2_depth), 1)
     inv_dir = 1.0 / direction
 
     DONE = jnp.int32(-1)
@@ -99,7 +110,7 @@ def _intersect_stack(
         def body(s):
             cur, sp, stack = s
             live = (cur != DONE) & ~is_leaf(cur)
-            row = ds.bvh2_rows[jnp.maximum(cur >> 3, 0)]
+            row = bvh2_rows[jnp.maximum(cur >> 3, 0)]
             tl0, tl1 = ray_aabb(origin, inv_dir, row[:, 0:3], row[:, 3:6])
             tr0, tr1 = ray_aabb(origin, inv_dir, row[:, 6:9], row[:, 9:12])
             hit_l = (tl0 <= tl1) & (tl1 >= t_min) & (tl0 <= t_best)
@@ -142,7 +153,7 @@ def _intersect_stack(
         offs = jnp.arange(MAX_LEAF_SIZE, dtype=jnp.int32)
         tid = jnp.minimum(first[:, None] + offs[None, :], n_tris - 1)
         lane_ok = do_leaf[:, None] & (offs[None, :] < count[:, None])
-        pack = ds.tri_pack[tid]
+        pack = tri_pack[tid]
         valid, t, _, _ = ray_triangle(
             origin[:, None, :], direction[:, None, :],
             pack[..., 0:3], pack[..., 3:6], pack[..., 6:9],
@@ -166,8 +177,7 @@ def _intersect_stack(
     _, _, _, t_best, best = jax.lax.while_loop(
         outer_cond, outer_body, (cur0, sp0, stack0, t_best, best)
     )
-    t = jnp.where(best >= 0, t_best, INF)
-    return t, best
+    return t_best, best
 
 
 class Hit(NamedTuple):
@@ -230,41 +240,94 @@ def intersect_scene(
         t_best = jnp.where(sph_hit, st, t_best)
         best = jnp.where(sph_hit, n_tris + sidx, best)
 
-    if n_tris == 0:
+    instances = ds.meta.instances
+    if n_tris == 0 and not instances:
         t = jnp.where(best >= 0, t_best, INF)
         return t, best
 
-    if _use_pallas(ds):
+    use_pallas = _use_pallas(ds)
+    if use_pallas:
         from .traverse_pallas import intersect_tris_pallas
 
-        act = active & (best < 0) if early_exit else active
         # coherence sort: lanes are independent, so reordering only shrinks
         # each lockstep tile's node-set union — results are bit-identical.
         # dead lanes sort last: whole-dead tiles terminate immediately,
         # live tiles stay dense (late bounces have few survivors)
+        act0 = active & (best < 0) if early_exit else active
         key = ray_sort_key(ds, origin, direction)
-        key = key | ((~act).astype(jnp.int32) << 25)
+        key = key | ((~act0).astype(jnp.int32) << 25)
         order = jnp.argsort(key)
-        pt, pbest = intersect_tris_pallas(
-            ds, origin[order], direction[order], t_min[order],
-            t_best[order], act[order], early_exit=early_exit,
-        )
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(B, dtype=order.dtype)
         )
-        pt, pbest = pt[inv], pbest[inv]
-        tri_hit = pbest >= 0
-        t_best = jnp.where(tri_hit, pt, t_best)
-        best = jnp.where(tri_hit, pbest, best)
-        t = jnp.where(best >= 0, t_best, INF)
-        return t, best
+        if n_tris:
+            pt, pbest = intersect_tris_pallas(
+                ds, origin[order], direction[order], t_min[order],
+                t_best[order], act0[order], early_exit=early_exit,
+            )
+            pt, pbest = pt[inv], pbest[inv]
+            tri_hit = pbest >= 0
+            t_best = jnp.where(tri_hit, pt, t_best)
+            best = jnp.where(tri_hit, pbest, best)
+    elif n_tris:
+        if _USE_STACK:
+            t_best, best = _intersect_stack(
+                ds, origin, direction, t_min, t_max, t_best, best, active,
+                early_exit,
+            )
+        else:
+            t_best, best = _intersect_skiplink(
+                ds, origin, direction, t_min, t_best, best, active,
+                early_exit,
+            )
 
-    if _USE_STACK:
-        return _intersect_stack(
-            ds, origin, direction, t_min, t_max, t_best, best, active,
-            early_exit,
+    # ---- shared-BLAS instances: one pass per instance over the shared
+    # object-space BVH with locally transformed rays; t is preserved by the
+    # (unnormalized) affine ray transform, so t chains across passes exactly
+    # like the reference's nested-BVH traversal (accel.rs:183-214) and IAS
+    # (scene.cu:162-250). Each pass is masked by the instance's world-AABB
+    # slab test, so culled tiles exit the lockstep walk at the root.
+    inv_dir = 1.0 / direction
+    for i, (blas_id, vtri_base, _nt_b, _so) in enumerate(instances):
+        xf = ds.inst_xf[i]
+        w2o = xf[16:].reshape(4, 4)
+        o_l = apply_point(w2o[None], origin)
+        d_l = apply_vector(w2o[None], direction)
+        a0, a1 = ray_aabb(
+            origin, inv_dir,
+            jnp.broadcast_to(ds.inst_aabb_min[i], (B, 3)),
+            jnp.broadcast_to(ds.inst_aabb_max[i], (B, 3)),
         )
+        act_i = active & (a0 <= a1) & (a1 >= t_min) & (a0 <= t_best)
+        if early_exit:
+            act_i = act_i & (best < 0)
+        if use_pallas:
+            pt, pbest = intersect_tris_pallas(
+                ds, o_l[order], d_l[order], t_min[order],
+                t_best[order], act_i[order], early_exit=early_exit,
+                blas=blas_id,
+            )
+            pt, pbest = pt[inv], pbest[inv]
+        else:
+            bt, bb = _intersect_stack(
+                ds, o_l, d_l, t_min, t_max, t_best,
+                jnp.full((B,), -1, jnp.int32), act_i, early_exit,
+                blas=blas_id,
+            )
+            pt, pbest = bt, bb
+        ihit = pbest >= 0
+        t_best = jnp.where(ihit, pt, t_best)
+        best = jnp.where(ihit, vtri_base + pbest, best)
 
+    t = jnp.where(best >= 0, t_best, INF)
+    return t, best
+
+
+def _intersect_skiplink(
+    ds, origin, direction, t_min, t_best, best, active, early_exit
+):
+    """Skip-link walk over the main accel (debug/comparison fallback)."""
+    n_tris = ds.meta.n_tris
     n_nodes = ds.bvh_skip.shape[0]
     # sentinel: traversal ends when the node pointer reaches the unpadded node
     # count; every skip[] chain terminates there.
@@ -347,8 +410,7 @@ def intersect_scene(
     _, t_best, best, _ = jax.lax.while_loop(
         outer_cond, outer_body, (node0, t_best, best, zero)
     )
-    t = jnp.where(best >= 0, t_best, INF)
-    return t, best
+    return t_best, best
 
 
 def _interleave3(v):
@@ -395,6 +457,7 @@ def hit_details(
     """
     B = origin.shape[0]
     n_tris = ds.meta.n_tris
+    instances = ds.meta.instances
     hit = prim >= 0
     is_tri = hit & (prim < n_tris)
 
@@ -402,13 +465,35 @@ def hit_details(
 
     # -------- triangle path: ONE wide gather replaces 13 narrow ones
     # (XLA TPU gathers cost ~the same per row regardless of width)
-    tid = jnp.clip(jnp.where(is_tri, prim, 0), 0, max(n_tris - 1, 0))
+    if instances:
+        # virtual-tri decode: instanced winners map to shared object-space
+        # BLAS shade rows + a per-instance transform (applied below)
+        base0 = ds.meta.inst_vtri_base0
+        is_inst = hit & (prim >= base0)
+        row = jnp.where(is_tri, prim, 0)
+        xf_id = jnp.zeros_like(prim)
+        for i, (_b, vbase, nt_b, shade_off) in enumerate(instances):
+            m = (prim >= vbase) & (prim < vbase + nt_b)
+            row = jnp.where(m, prim - vbase + shade_off, row)
+            xf_id = jnp.where(m, i, xf_id)
+        tid = jnp.clip(row, 0, ds.tri_shade.shape[0] - 1)
+        xf = ds.inst_xf[xf_id]                    # (B, 32)
+        o2w = xf[:, :16].reshape(B, 4, 4)
+        w2o = xf[:, 16:].reshape(B, 4, 4)
+        sel_i = is_inst[:, None]
+        o_sel = jnp.where(sel_i, apply_point(w2o, origin), origin)
+        d_sel = jnp.where(sel_i, apply_vector(w2o, direction), direction)
+    else:
+        is_inst = None
+        tid = jnp.clip(jnp.where(is_tri, prim, 0), 0, max(n_tris - 1, 0))
+        o_sel, d_sel = origin, direction
     sh = ds.tri_shade[tid]                       # (B, 32)
     p0, p1, p2 = sh[:, 0:3], sh[:, 3:6], sh[:, 6:9]
     sh_ints = jax.lax.bitcast_convert_type(sh[:, 24:28], jnp.int32)
-    # recompute barycentrics for the winning triangle
+    # recompute barycentrics for the winning triangle (per-lane space:
+    # local rays against local rows for instanced lanes, world otherwise)
     _, _, u, v = ray_triangle(
-        origin, direction, p0, p1, p2,
+        o_sel, d_sel, p0, p1, p2,
         jnp.full_like(t, -INF), jnp.full_like(t, INF),
     )
     w = 1.0 - u - v
@@ -445,6 +530,17 @@ def hit_details(
     )
     tri_mat = sh_ints[:, 0]
     tri_light = sh_ints[:, 1]
+
+    if instances:
+        # instanced lanes computed in object space: transform out (normals
+        # via inverse-transpose — geometry.rs:92-136 / transform.rs:67-72)
+        tri_normal = jnp.where(
+            sel_i, normalize(apply_vector_transposed(w2o, tri_normal)),
+            tri_normal,
+        )
+        tri_dpdu = jnp.where(sel_i, apply_vector(o2w, tri_dpdu), tri_dpdu)
+        tri_dpdv = jnp.where(sel_i, apply_vector(o2w, tri_dpdv), tri_dpdv)
+        is_tri = is_tri | is_inst
 
     # -------- sphere path
     if ds.meta.n_spheres:

@@ -28,6 +28,7 @@ OptiX hardware traversal (kernels/pathtracer.cu).
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 
@@ -68,20 +69,75 @@ def pack_tables(bvh_nodes: np.ndarray, tri_pack: np.ndarray):
     return nodes_pk, tris_pk
 
 
-def supports(ds) -> bool:
+class AccelView(NamedTuple):
+    """One accel's tables + statics (main world soup or one shared BLAS)."""
+
+    recs_pk: object
+    rows_pk: object
+    nodes_pk: object
+    tris_pk: object
+    quad_rows: object
+    tri_rows: object
+    n_tris: int
+    root_meta4: int
+    bvh4_stack: int
+    root_meta: int
+    bvh2_depth: int
+    n_nodes: int
+    root_meta4r: int
+
+
+def _accel_of(ds, blas) -> AccelView:
+    if blas is None:
+        m = ds.meta
+        return AccelView(
+            ds.bvh4_recs_pk, ds.bvh2_rows_pk, ds.bvh_nodes_pk, ds.tri_pack_pk,
+            ds.bvh4_rows, ds.tri_rows,
+            m.n_tris, m.root_meta4, m.bvh4_stack, m.root_meta, m.bvh2_depth,
+            m.n_bvh_nodes, m.root_meta4r,
+        )
+    t = ds.blas_tables[blas]
+    (n_tris, root_meta, bvh2_depth, root_meta4, bvh4_stack, n_nodes,
+     root_meta4r) = ds.meta.blas_meta[blas]
+    return AccelView(
+        t.bvh4_recs_pk, t.bvh2_rows_pk, t.bvh_nodes_pk, t.tri_pack_pk,
+        t.bvh4_rows, t.tri_rows,
+        n_tris, root_meta4, bvh4_stack, root_meta, bvh2_depth, n_nodes,
+        root_meta4r,
+    )
+
+
+def _kernel_kind() -> str:
     import os as _o
 
-    nodes = ds.bvh_nodes_pk.size * 4
-    tris = ds.tri_pack_pk.size * 4
-    if not (ds.meta.n_tris > 0 and (nodes + tris) < VMEM_TABLE_BYTES):
+    return _o.environ.get("TPU_RT_PALLAS_KERNEL", "quadrow")
+
+
+def _accel_supported(a: AccelView) -> bool:
+    kind = _kernel_kind()
+    table = {"quad": a.recs_pk, "pair": a.rows_pk,
+             "quadrow": a.quad_rows}.get(kind, a.nodes_pk)
+    tris = a.tri_rows if kind == "quadrow" else a.tris_pk
+    if not (a.n_tris > 0 and (table.size + tris.size) * 4 < VMEM_TABLE_BYTES):
         return False
     # deep/degenerate trees whose stack bound exceeds the kernel's SMEM
     # stack degrade to the XLA walk instead of raising (ADVICE r1)
-    kind = _o.environ.get("TPU_RT_PALLAS_KERNEL", "quad")
-    if kind == "quad" and ds.meta.bvh4_stack > STACK_CAP:
+    if kind in ("quad", "quadrow") and a.bvh4_stack > STACK_CAP:
         return False
-    if kind == "pair" and ds.meta.bvh2_depth > STACK_CAP:
+    if kind == "pair" and a.bvh2_depth > STACK_CAP:
         return False
+    return True
+
+
+def supports(ds) -> bool:
+    """True when the main accel and every shared BLAS fit the kernel."""
+    if ds.meta.n_tris > 0 and not _accel_supported(_accel_of(ds, None)):
+        return False
+    if ds.meta.n_tris == 0 and not ds.meta.instances:
+        return False
+    for b in range(len(ds.meta.blas_meta)):
+        if not _accel_supported(_accel_of(ds, b)):
+            return False
     return True
 
 
@@ -408,8 +464,21 @@ QUAD_F = 32                      # f32 per quad record
 QUADS_PER_ROW = LANE // QUAD_F   # 4
 
 
+def _parse_probe(spec: str):
+    """'switch:2,cond:4' -> {'switch': 2, 'cond': 4} (perf attribution)."""
+    out = {}
+    for part in (spec or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, n = part.partition(":")
+        out[name] = int(n) if n else 1
+    return out
+
+
 def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
-                 tsub: int = SUB, count_visits: bool = False):
+                 tsub: int = SUB, count_visits: bool = False,
+                 probe: str = "", rowrec: bool = False):
     """v3: BVH4 walk — each record holds up to 4 child boxes (two collapsed
     BVH2 levels), so iterations halve vs the pair walk. Hit children are
     visited in tile-majority near-first order (per-half split axes stored
@@ -418,7 +487,19 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
     tsub widens the walk tile to (tsub, LANE) lanes: the per-visit SCALAR
     program (the measured round-1 bottleneck, docs/PERF_LOG.md) is shared
     across tsub//8 vector subtiles, amortizing the ~0.9µs/visit scalar
-    latency over K× more rays at the cost of a larger node-set union."""
+    latency over K× more rays at the cost of a larger node-set union.
+
+    probe adds REDUNDANT copies of individual body constructs (semantics
+    preserved; results consumed via a provably-zero addend the compiler
+    cannot fold) so their marginal cost is measurable on the real body —
+    the round-1 isolated probes all ran at the ~40ns floor while the full
+    body runs ~0.9µs/visit, so attribution must happen in situ.
+
+    rowrec switches to the switch-free layouts: one quad record per VMEM
+    row (dynamic sublane read replaces the ~144ns lax.switch select) and
+    8-aligned leaf tri rows (one row read + static slot slices replace 4
+    more switches per leaf; slot field 9 carries the original tri id)."""
+    probes = _parse_probe(probe)
 
     def kernel(
         quads_ref, tris_ref,
@@ -436,11 +517,18 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
             first = meta >> 3
             cur_t = jnp.full((tsub, LANE), INF)
             cur_k = jnp.zeros((tsub, LANE), jnp.int32)
+            if rowrec:
+                lrow = tris_ref[pl.ds(first, 1), :]  # one aligned leaf row
+                lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
             for k in range(MAX_LEAF_SIZE):
-                ti = jnp.minimum(first + k, n_tris - 1)
-                trow = tris_ref[pl.ds(ti // TRIS_PER_ROW, 1), :]
-                tri = _select_record(trow, ti % TRIS_PER_ROW,
-                                     TRIS_PER_ROW, TRI_F)
+                if rowrec:
+                    tri = jax.lax.slice(lrow, (0, k * TRI_F),
+                                        (1, (k + 1) * TRI_F))
+                else:
+                    ti = jnp.minimum(first + k, n_tris - 1)
+                    trow = tris_ref[pl.ds(ti // TRIS_PER_ROW, 1), :]
+                    tri = _select_record(trow, ti % TRIS_PER_ROW,
+                                         TRIS_PER_ROW, TRI_F)
                 p0 = (tri[0, 0], tri[0, 1], tri[0, 2])
                 e1 = (tri[0, 3] - p0[0], tri[0, 4] - p0[1], tri[0, 5] - p0[2])
                 e2 = (tri[0, 6] - p0[0], tri[0, 7] - p0[1], tri[0, 8] - p0[2])
@@ -466,10 +554,14 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
                 )
                 take = ok & (t < cur_t)
                 cur_t = jnp.where(take, t, cur_t)
-                cur_k = jnp.where(take, k, cur_k)
+                # rowrec rows carry the original tri id in slot field 9
+                cur_k = jnp.where(
+                    take, lrow_i[0, k * TRI_F + 9] if rowrec else k, cur_k
+                )
             leaf_hit = cur_t < INF
             t_best = jnp.where(leaf_hit, cur_t, t_best)
-            best = jnp.where(leaf_hit, first + cur_k, best)
+            best = jnp.where(leaf_hit, cur_k if rowrec else first + cur_k,
+                             best)
             return t_best, best
 
         t_best0 = tmx[:]
@@ -502,9 +594,13 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
             if count_visits:
                 nv = nv + 1
             nid = cur >> 3
-            row = quads_ref[pl.ds(nid // QUADS_PER_ROW, 1), :]
-            rec = _select_record(row, nid % QUADS_PER_ROW,
-                                 QUADS_PER_ROW, QUAD_F)  # (1, 32)
+            if rowrec:
+                row = quads_ref[pl.ds(nid, 1), :]
+                rec = row  # record occupies lanes [0:32] of its own row
+            else:
+                row = quads_ref[pl.ds(nid // QUADS_PER_ROW, 1), :]
+                rec = _select_record(row, nid % QUADS_PER_ROW,
+                                     QUADS_PER_ROW, QUAD_F)  # (1, 32)
             ints = jax.lax.bitcast_convert_type(rec, jnp.int32)
             metas = [ints[0, 24 + j] for j in range(4)]
             axes = ints[0, 28]
@@ -550,6 +646,27 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
                 anys[j] * (jnp.int32(j) < nkids).astype(jnp.int32)
                 for j in range(4)
             ]
+
+            # ---- additive perf probes (redundant construct copies; the
+            # accumulated junk is folded to a provably-zero scalar addend)
+            junk = jnp.int32(0)
+            for c in range(probes.get("row", 0)):
+                row2 = quads_ref[pl.ds((nid // (2 + c)) // QUADS_PER_ROW, 1), :]
+                junk = junk + jax.lax.bitcast_convert_type(row2, jnp.int32)[0, c]
+            for c in range(probes.get("switch", 0)):
+                rec2 = _select_record(row, (nid + 1 + c) % QUADS_PER_ROW,
+                                      QUADS_PER_ROW, QUAD_F)
+                junk = junk + jax.lax.bitcast_convert_type(rec2, jnp.int32)[0, c]
+            for c in range(probes.get("extract", 0)):
+                junk = junk + ints[0, c % 24]
+            for c in range(probes.get("reduce", 0)):
+                junk = junk + jnp.sum(hits[c % 4].astype(jnp.int32) << (1 + c))
+            for c in range(probes.get("pick", 0)):
+                # a pick_meta-like 4-deep scalar select chain
+                x = metas[0]
+                for j in range(1, 4):
+                    x = jnp.where(nkids == j + c + 17, metas[j], x)
+                junk = junk + x
 
             if early_exit:
                 # any-hit: visit order is irrelevant — static storage order
@@ -616,6 +733,32 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
                 )
                 go = a & ~is_leaf & (m != DONE)
                 pending.append((m, go))
+            for c in range(probes.get("cond", 0)):
+                jj = c % 4
+
+                def probe_leaf(args, m=metas[jj], h=hits[jj]):
+                    return leaf_phase(m, h, *args)
+
+                t_best, best = jax.lax.cond(
+                    (anys[jj] > 0) & (metas[jj] == -0x7EAD - c),
+                    probe_leaf, lambda args: args, (t_best, best),
+                )
+            for c in range(probes.get("leaftaken", 0)):
+                # a cond TAKEN whenever slot 0 hits, running a full leaf
+                # body with an all-false lane mask (bounded row, count=0):
+                # measures what a real taken leaf phase costs
+                def probe_leaf2(args, m=(metas[0] & (7 << 3)),
+                                h=hits[0] & (metas[0] == -19 - c)):
+                    return leaf_phase(m, h, *args)
+
+                t_best, best = jax.lax.cond(
+                    anys[0] + c > c, probe_leaf2, lambda args: args,
+                    (t_best, best),
+                )
+            if probes:
+                # provably zero, but only by range analysis the compiler
+                # does not perform — keeps every probe live
+                sp = sp + jnp.minimum(jnp.abs(junk), 0)
             # nearest internal hit = cur; push the rest far-to-near
             for m, go in reversed(pending):
                 later = nxt != DONE
@@ -653,7 +796,7 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
 
 
 def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g,
-                     tsub=SUB, count_visits=False):
+                     tsub=SUB, count_visits=False, probe="", rowrec=False):
     """Wrap a per-tile kernel body into a single gridless invocation.
 
     With a grid, Pallas re-stages the full node/tri tables from HBM on
@@ -662,7 +805,8 @@ def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g,
     in-kernel fori loops over ray tiles with dynamic sublane slices.
     """
     tile_kernel = tile_kernel_factory(early_exit, root_meta, n_tris,
-                                      tsub=tsub, count_visits=count_visits)
+                                      tsub=tsub, count_visits=count_visits,
+                                      probe=probe, rowrec=rowrec)
 
     def kernel(table_ref, tris_ref, *refs):
         (ox, oy, oz, dx, dy, dz, tmn, tmx, act, t_out, best_out, visits_out,
@@ -705,10 +849,11 @@ def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g,
 
 @partial(jax.jit, static_argnums=(0, 3))
 def _quad_tiles(shape_key, quads_pk, tris_pk, early_exit, cols):
-    root_meta, n_tris, interpret, tsub, count_visits = shape_key
+    root_meta, n_tris, interpret, tsub, count_visits, probe, rowrec = shape_key
     g = cols[0].shape[0] // tsub
     kernel = _gridless_kernel(_quad_kernel, early_exit, root_meta, n_tris, g,
-                              tsub=tsub, count_visits=count_visits)
+                              tsub=tsub, count_visits=count_visits,
+                              probe=probe, rowrec=rowrec)
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -788,12 +933,15 @@ def tile_k() -> int:
 
 
 def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
-                          early_exit=False, with_visits=False):
+                          early_exit=False, with_visits=False, blas=None):
     """Triangle-closest-hit via the lockstep kernel. Returns (t, best).
 
     with_visits=True (quad kernel only) additionally returns the per-tile
     node-visit counts (g,) — diagnostics for BVH quality / kernel tuning.
+    blas selects a shared-BLAS accel (instanced geometry, object-space rays)
+    instead of the main world-space accel.
     """
+    av = _accel_of(ds, blas)
     B = origin.shape[0]
     k = tile_k()
     tsub = SUB * k
@@ -814,30 +962,35 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
     interpret = jax.default_backend() != "tpu"
     import os as _o
 
-    kind = _o.environ.get("TPU_RT_PALLAS_KERNEL", "quad")
+    kind = _kernel_kind()
     visits = None
-    if kind == "quad":
-        if ds.meta.bvh4_stack > STACK_CAP:
+    if kind in ("quad", "quadrow"):
+        if av.bvh4_stack > STACK_CAP:
             raise ValueError(
-                f"BVH4 stack bound {ds.meta.bvh4_stack} exceeds {STACK_CAP}"
+                f"BVH4 stack bound {av.bvh4_stack} exceeds {STACK_CAP}"
             )
-        shape_key = (int(ds.meta.root_meta4), int(ds.meta.n_tris), interpret,
-                     tsub, with_visits)
+        rowrec = kind == "quadrow"
+        root = av.root_meta4r if rowrec else av.root_meta4
+        nodes, tris = ((av.quad_rows, av.tri_rows) if rowrec
+                       else (av.recs_pk, av.tris_pk))
+        shape_key = (int(root), int(av.n_tris), interpret,
+                     tsub, with_visits,
+                     _o.environ.get("TPU_RT_KERNEL_PROBE", ""), rowrec)
         t, best, visits = _quad_tiles(
-            shape_key, ds.bvh4_recs_pk, ds.tri_pack_pk, early_exit, cols
+            shape_key, nodes, tris, early_exit, cols
         )
     elif kind == "pair":
-        if ds.meta.bvh2_depth > STACK_CAP:
+        if av.bvh2_depth > STACK_CAP:
             raise ValueError(
-                f"BVH depth {ds.meta.bvh2_depth} exceeds stack cap {STACK_CAP}"
+                f"BVH depth {av.bvh2_depth} exceeds stack cap {STACK_CAP}"
             )
-        shape_key = (int(ds.meta.root_meta), int(ds.meta.n_tris), interpret)
-        t, best = _pair_tiles(shape_key, ds.bvh2_rows_pk, ds.tri_pack_pk,
+        shape_key = (int(av.root_meta), int(av.n_tris), interpret)
+        t, best = _pair_tiles(shape_key, av.rows_pk, av.tris_pk,
                               early_exit, cols)
     else:
-        sentinel = int(ds.meta.n_bvh_nodes)  # static per scene
-        shape_key = (sentinel, int(ds.meta.n_tris), interpret)
-        t, best = _walk_tiles(shape_key, ds.bvh_nodes_pk, ds.tri_pack_pk,
+        sentinel = int(av.n_nodes)  # static per scene
+        shape_key = (sentinel, int(av.n_tris), interpret)
+        t, best = _walk_tiles(shape_key, av.nodes_pk, av.tris_pk,
                               early_exit, cols)
     t = t.reshape(-1)[:B]
     best = best.reshape(-1)[:B]
