@@ -667,6 +667,20 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
                 for j in range(1, 4):
                     x = jnp.where(nkids == j + c + 17, metas[j], x)
                 junk = junk + x
+            for c in range(probes.get("slab", 0)):
+                # a full redundant 4-box slab block (scaled boxes defeat CSE)
+                s = jnp.float32(c + 2)
+                hsum = jnp.zeros((tsub, LANE), jnp.int32)
+                for j in range(4):
+                    t0 = jnp.full((tsub, LANE), -INF)
+                    t1 = jnp.full((tsub, LANE), INF)
+                    for ax in range(3):
+                        a = (rec[0, j * 6 + ax] * s - o[ax]) * inv[ax]
+                        b = (rec[0, j * 6 + 3 + ax] * s - o[ax]) * inv[ax]
+                        t0 = jnp.maximum(t0, jnp.minimum(a, b))
+                        t1 = jnp.minimum(t1, jnp.maximum(a, b))
+                    hsum = hsum + (t0 <= t1).astype(jnp.int32)
+                junk = junk + jnp.sum(hsum)
 
             if early_exit:
                 # any-hit: visit order is irrelevant — static storage order
@@ -755,6 +769,19 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
                     anys[0] + c > c, probe_leaf2, lambda args: args,
                     (t_best, best),
                 )
+            for c in range(probes.get("when", 0)):
+                # never-taken predicated store (branch overhead only)
+                @pl.when((anys[0] > 0) & (metas[0] == -77 - c))
+                def _(c=c):
+                    stack_ref[sp] = metas[0] + c
+
+            for c in range(probes.get("whentaken", 0)):
+                # always-taken predicated store to the dead slot at sp
+                # (slots >= sp are never read; real pushes overwrite)
+                @pl.when(anys[0] + c >= c)
+                def _(c=c):
+                    stack_ref[sp] = metas[0] + c
+
             if probes:
                 # provably zero, but only by range analysis the compiler
                 # does not perform — keeps every probe live

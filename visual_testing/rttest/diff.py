@@ -40,9 +40,24 @@ class DiffResult:
     mse: float
     max_diff: float
     channel_group: str
+    rel_mean: float = 0.0  # |mean(out) - mean(ref)| / max(mean(ref), eps)
 
     def passes(self, tolerance: float) -> bool:
         return self.mse <= tolerance
+
+    # Cross-backend (TPU vs CPU-blessed) statistical gate. Per BASELINE.md:
+    # per-pixel beauty differences at low spp are chaotic Monte-Carlo path
+    # divergence seeded by FMA-contraction ULPs — unbiased, so the image
+    # MEAN must still agree tightly — while first-hit AOV groups are
+    # deterministic up to silhouette hit/miss flips (sphere normals MSE
+    # 1.7e-3 measured), so they get a small absolute MSE bound.
+    STAT_AOV_MSE = 5.0e-3
+    STAT_REL_MEAN = 0.02
+
+    def stat_passes(self) -> bool:
+        if self.channel_group == "RGB":
+            return self.rel_mean <= self.STAT_REL_MEAN
+        return self.mse <= self.STAT_AOV_MSE
 
 
 def compare_images(output_path: Path, reference_path: Path) -> DiffResult:
@@ -56,8 +71,10 @@ def compare_images(output_path: Path, reference_path: Path) -> DiffResult:
     if out.shape != ref.shape:
         raise ValueError(f"shape mismatch: {out.shape} vs {ref.shape}")
     d = out.astype(np.float64) - ref.astype(np.float64)
+    ref_mean = float(np.mean(np.abs(ref.astype(np.float64))))
     return DiffResult(
         mse=float(np.mean(d * d)),
         max_diff=float(np.max(np.abs(d))) if d.size else 0.0,
         channel_group=out_group,
+        rel_mean=float(abs(np.mean(d)) / max(ref_mean, 1e-9)),
     )

@@ -69,6 +69,7 @@ def run_single_test(
     base_dir: Path,
     tolerance: float,
     visual: bool = True,
+    stat_gate: bool = False,
 ) -> TestResult:
     output_path = output_dir / f"{spec.name}.exr"
     reference_path = reference_dir / f"{spec.name}.exr"
@@ -128,9 +129,21 @@ def run_single_test(
             spec.name, "ERROR", elapsed, message=f"diff failed: {e}",
             output_path=str(output_path), reference_path=str(reference_path),
         )
-    status = "PASS" if diff.passes(tolerance) else "FAIL"
+    if stat_gate:
+        # cross-backend statistical gate (TPU vs CPU-blessed references):
+        # beauty gated on image-mean agreement, AOVs on a small MSE bound
+        ok = diff.stat_passes()
+        msg = (
+            f"stat gate [{diff.channel_group}]: rel_mean="
+            f"{diff.rel_mean:.4f} mse={diff.mse:.2e}"
+        )
+    else:
+        ok = diff.passes(tolerance)
+        msg = ""
+    status = "PASS" if ok else "FAIL"
     return TestResult(
         spec.name, status, elapsed, mse=diff.mse, max_diff=diff.max_diff,
+        message=msg,
         output_path=str(output_path), reference_path=str(reference_path),
     )
 
@@ -158,12 +171,13 @@ def run_tests(
     base_dir: Path,
     tolerance: float,
     visual: bool = True,
+    stat_gate: bool = False,
 ) -> List[TestResult]:
     results = []
     for spec in specs:
         res = run_single_test(
             spec, output_dir, reference_dir, renderer_args, backend,
-            base_dir, tolerance, visual,
+            base_dir, tolerance, visual, stat_gate,
         )
         icon = {
             "PASS": "✓", "FAIL": "✗", "NEW": "?", "ERROR": "!", "SKIP": "-"
