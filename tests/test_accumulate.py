@@ -81,3 +81,17 @@ def test_mismatched_checkpoint_restarts(scene_settings, tmp_path, caplog):
     out = render_accumulated(scene, s2, spp_chunk=2, checkpoint_path=ck,
                              chunk_pixels=1 << 12)
     assert np.isfinite(out.beauty).all()
+
+
+def test_on_chunk_progressive_hook(scene_settings):
+    """on_chunk gets a live partial average after every spp chunk."""
+    scene, s = scene_settings
+    seen = []
+    out = render_accumulated(
+        scene, s, spp_chunk=2, chunk_pixels=1 << 12,
+        on_chunk=lambda img, done: seen.append((img.copy(), done)),
+    )
+    assert [d for _, d in seen] == list(
+        range(2, s.samples_per_pixel + 1, 2)
+    ) or [d for _, d in seen][-1] == s.samples_per_pixel
+    np.testing.assert_array_equal(seen[-1][0], out.beauty)

@@ -53,8 +53,15 @@ def render_accumulated(
     spp_chunk: int = 32,
     checkpoint_path: Optional[Path] = None,
     chunk_pixels: Optional[int] = None,
+    on_chunk=None,
 ) -> RenderOutput:
-    """Beauty render accumulated in spp chunks with optional resume."""
+    """Beauty render accumulated in spp chunks with optional resume.
+
+    on_chunk(image (H, W, 3), spp_done) is called after every chunk with
+    the current partial average — the progressive-refinement hook the
+    viewer uses (reference viewer re-render loop,
+    crates/viewer/src/render_output_view.rs:84-97).
+    """
     ds = (
         scene_or_device
         if isinstance(scene_or_device, DeviceScene)
@@ -131,6 +138,13 @@ def render_accumulated(
                 fingerprint=fingerprint, spp_chunk=spp_chunk,
             )
             tmp.replace(checkpoint_path)
+        if on_chunk is not None:
+            on_chunk(
+                (accum[unmorton] / np.float32(spp_done)).reshape(
+                    height, width, 3
+                ),
+                spp_done,
+            )
 
     out = RenderOutput(width=width, height=height)
     out.beauty = (

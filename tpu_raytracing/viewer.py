@@ -7,6 +7,9 @@ debug normals, pixel inspect) (render_output_view.rs:13-97). The TPU-native
 equivalent keeps the same capabilities on a matplotlib canvas:
 
 - renders through the same device renderer as the CLI
+- PROGRESSIVE refinement: samples accumulate in spp chunks and the canvas
+  updates live after every chunk (render_output_view.rs:84-97 re-render
+  loop; uses integrator.accumulate's on_chunk hook)
 - exposure + gamma sliders re-tonemap without re-rendering
 - 'n' toggles the normals AOV view, 'r' re-renders, 'q' quits
 - clicking a pixel replays its sampler streams and prints the
@@ -34,23 +37,35 @@ def _tonemap(rgb: np.ndarray, exposure: float, gamma: float) -> np.ndarray:
 
 
 def run_viewer(scene, settings, scene_name: str = "scene") -> None:
+    from .integrator.accumulate import render_accumulated
     from .integrator.render import render, render_single_pixel
     from .settings import AovFlags
 
     settings.outputs = AovFlags.BEAUTY | AovFlags.NORMALS
     state = {"exposure": 1.0, "gamma": 2.2, "show_normals": False}
 
-    def do_render():
-        out = render(scene, settings)
-        state["beauty"] = out.beauty
-        state["normals"] = (out.normals + 1.0) * 0.5
+    import copy
 
-    do_render()
+    def do_render(on_chunk=None):
+        # normals AOV is a cheap single first-hit pass
+        aov_settings = copy.copy(settings)
+        aov_settings.outputs = AovFlags.NORMALS
+        state["normals"] = (render(scene, aov_settings).normals + 1.0) * 0.5
+        # beauty accumulates progressively in spp chunks
+        beauty_settings = copy.copy(settings)
+        beauty_settings.outputs = AovFlags.BEAUTY
+        out = render_accumulated(
+            scene, beauty_settings,
+            spp_chunk=max(1, settings.samples_per_pixel // 8),
+            on_chunk=on_chunk,
+        )
+        state["beauty"] = out.beauty
 
     headless = not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"))
     if headless:
         from .utils.png import save_png
 
+        do_render()
         path = f"{scene_name}_view.png"
         save_png(path, state["beauty"], exposure=state["exposure"])
         log.info("headless: wrote %s", path)
@@ -65,8 +80,11 @@ def run_viewer(scene, settings, scene_name: str = "scene") -> None:
     fig, ax = plt.subplots(figsize=(10, 7))
     fig.subplots_adjust(bottom=0.18)
     fig.canvas.manager.set_window_title(f"tpu-raytracing viewer — {scene_name}")
-    im = ax.imshow(_tonemap(state["beauty"], 1.0, 2.2))
-    ax.set_title("click: pixel inspect · n: normals · r: re-render · q: quit")
+    cam = scene.camera
+    placeholder = np.zeros((cam.raster_height, cam.raster_width, 3))
+    im = ax.imshow(placeholder)
+    title = "click: pixel inspect · n: normals · r: re-render · q: quit"
+    ax.set_title(title)
 
     ax_exp = fig.add_axes([0.15, 0.08, 0.6, 0.03])
     ax_gam = fig.add_axes([0.15, 0.03, 0.6, 0.03])
@@ -85,12 +103,19 @@ def run_viewer(scene, settings, scene_name: str = "scene") -> None:
     s_exp.on_changed(redraw)
     s_gam.on_changed(redraw)
 
+    def progressive(img, spp_done):
+        """Live canvas update after each accumulated spp chunk."""
+        state["beauty"] = img
+        ax.set_title(f"{title}   [{spp_done}/{settings.samples_per_pixel} spp]")
+        redraw()
+        plt.pause(0.001)
+
     def on_key(event):
         if event.key == "n":
             state["show_normals"] = not state["show_normals"]
             redraw()
         elif event.key == "r":
-            do_render()
+            do_render(on_chunk=progressive)
             redraw()
         elif event.key == "q":
             plt.close(fig)
@@ -110,6 +135,9 @@ def run_viewer(scene, settings, scene_name: str = "scene") -> None:
 
     fig.canvas.mpl_connect("key_press_event", on_key)
     fig.canvas.mpl_connect("button_press_event", on_click)
+    fig.show()
+    do_render(on_chunk=progressive)  # first render refines live
+    redraw()
     plt.show()
 
 
