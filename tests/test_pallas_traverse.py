@@ -78,6 +78,7 @@ def test_occlusion_parity(bunny_ds):
 
 def test_closest_hit_parity_wide_tile(bunny_ds, monkeypatch):
     """K>1 walk tiles (scalar-program amortization) stay bit-faithful."""
+    monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "quadrow")
     monkeypatch.setenv("TPU_RT_TILE_K", "4")
     ds = bunny_ds
     B = 4096
@@ -110,3 +111,49 @@ def test_inactive_lanes_stay_missed(bunny_ds):
         ds, o, d, jnp.full(B, 1e-3), jnp.full(B, np.inf), act
     )
     assert np.all(np.asarray(p_p)[1::2] == -1)
+
+
+@pytest.mark.parametrize("r_rows", ["1", "4"])
+def test_bvh8t_parity_row_widths(bunny_ds, monkeypatch, r_rows):
+    """bvh8t walk (transposed wide nodes) is bit-faithful at any tile R."""
+    monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "bvh8t")
+    monkeypatch.setenv("TPU_RT_T8_R", r_rows)
+    ds = bunny_ds
+    B = 2048
+    o, d = _rays(ds, B, 11)
+    tmin = jnp.full(B, 1e-3)
+    tmax = jnp.full(B, jnp.inf)
+    t_ref, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)
+    t_p, p_p = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool),
+    )
+    p_ref, p_p = np.asarray(p_ref), np.asarray(p_p)
+    tri_lanes = p_ref < ds.meta.n_tris
+    np.testing.assert_array_equal(p_ref[tri_lanes], p_p[tri_lanes])
+    t_p = np.where(p_p >= 0, np.asarray(t_p), np.inf)
+    np.testing.assert_allclose(
+        t_p[tri_lanes & (p_p >= 0)],
+        np.asarray(t_ref)[tri_lanes & (p_p >= 0)],
+        rtol=1e-5,
+    )
+
+
+def test_bvh8t_occlusion_parity(bunny_ds, monkeypatch):
+    monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "bvh8t")
+    ds = bunny_ds
+    B = 1024
+    o, d = _rays(ds, B, 13)
+    tmin = jnp.full(B, 1e-3)
+    tmax = jnp.full(B, 25.0, jnp.float32)
+    _, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)
+    _, p_p = intersect_tris_pallas(
+        ds, o, d, tmin, tmax, jnp.ones(B, bool), early_exit=True,
+    )
+    occ_ref = np.asarray(p_ref) >= 0
+    # early-exit may stop at ANY hit; occlusion verdicts must agree on
+    # lanes whose reference winner is a triangle (spheres are external)
+    tri = np.asarray(p_ref) < ds.meta.n_tris
+    np.testing.assert_array_equal(
+        (np.asarray(p_p) >= 0)[tri], occ_ref[tri]
+    )

@@ -99,9 +99,11 @@ class SceneMeta:
     bvh4_stack: int = 4
     # rowrec (switch-free) walk: root meta in rowrec leaf numbering
     root_meta4r: int = -1
+    # transposed BVH8 walk (bvh8t): stack bound
+    t8_stack: int = 4
     # instancing (TLAS-over-shared-BLAS equivalent): per-BLAS statics
     # (n_tris, root_meta, bvh2_depth, root_meta4, bvh4_stack, n_nodes,
-    #  root_meta4r)
+    #  root_meta4r, t8_stack)
     blas_meta: Tuple[Tuple[int, ...], ...] = ()
     # per-instance statics (blas_id, vtri_base, n_tris, shade_off)
     instances: Tuple[Tuple[int, int, int, int], ...] = ()
@@ -122,6 +124,9 @@ class BlasTables(NamedTuple):
     tri_pack_pk: jax.Array
     bvh4_rows: jax.Array     # (K, 128) switch-free quad record rows
     tri_rows: jax.Array      # (L, 128) 8-aligned leaf tri rows
+    t8_nodes: jax.Array      # (B*8, 128) transposed BVH8 node blocks
+    t8_meta: jax.Array       # (N8, 2) i32 per-node scalars (SMEM)
+    t8_tris: jax.Array       # (G*8, 128) transposed tri-group blocks
 
 
 @jax.tree_util.register_dataclass
@@ -160,6 +165,9 @@ class DeviceScene:
     bvh4_recs_pk: jax.Array   # (ceil(K/4), 128) f32, 4 quad records/row
     bvh4_rows: jax.Array      # (K, 128) f32, ONE quad record/row (no switch)
     tri_rows: jax.Array       # (L, 128) f32, 8-aligned leaf tri rows
+    t8_nodes: jax.Array       # (B*8, 128) transposed BVH8 node blocks
+    t8_meta: jax.Array        # (N8, 2) i32 per-node scalars (SMEM)
+    t8_tris: jax.Array        # (G*8, 128) transposed tri-group blocks
     # single-gather shading rows (XLA gathers cost ~the same per ROW
     # regardless of width, so 13 narrow gathers fold into 1 wide one):
     # tri_shade (T, 32): p0 p1 p2 n0 n1 n2 uv0 uv1 uv2 | bits: mat light
@@ -438,6 +446,144 @@ def _rowrec_layout(recs: np.ndarray, tri_pack: np.ndarray, root_meta4: int):
     return rows, tri_rows, int(root_meta4)
 
 
+N8_CHILD = 8       # children per transposed wide node (one 8-sublane block)
+LEAF8_MAX = 8      # max tris per merged leaf child (= one tri-group block)
+N8_PER_BLOCK = 16  # nodes per (8, 128) node block (8 lanes each)
+G8_PER_BLOCK = 12  # tri groups per (8, 128) tri block (10 lanes each)
+
+
+def _bvh8t_layout(bvh, tri_pack):
+    """Transposed 8-wide BVH for the single-drain Pallas walk (`bvh8t`).
+
+    Round-2 structural redesign of the traversal kernel data layout. The
+    measured per-visit wall (~0.7 us, docs/PERF_LOG.md) is the *latency* of
+    the serial vector->scalar round trips each visit makes, so this layout
+    is built so a visit needs exactly ONE vector->scalar crossing (the
+    packed child-hit vote) and zero scalar extracts for geometry:
+
+    - children live in SUBLANES: each BVH8 node is an 8-lane group of a
+      (8, 128) block (sublane = child slot; lanes +0..2 child box min,
+      +3..5 max). Slab tests become pure (8, 128) vector ops — box coords
+      are column broadcasts, ray data are row broadcasts.
+    - per-node scalars (child base, leaf base, counts) live in a separate
+      int32 table read from SMEM (scalar memory — no VPU sync), packed as
+      meta0 = child_base<<4|n_internal, meta1 = leaf_base<<4|n_leaf.
+    - internal children of a node get CONTIGUOUS node ids, so the stack
+      holds (base, pending-bitmask) entries and a pop is ffs + clear — no
+      per-slot select chains.
+    - leaf children are merged BVH2 subtrees of <= LEAF8_MAX prims (prim
+      ranges are contiguous by construction of the in-place partition in
+      accel/bvh.py) stored as one transposed tri group each: tri slot in
+      sublane, lanes +0..2 p0, +3..5 e1, +6..8 e2, +9 tri id bits. A
+      node's leaf groups are contiguous (leaf_base + j) and sit in child
+      slots 7-j so their box-hit masks are static sublane slices.
+    - empty child slots get NaN boxes (slab comparisons all false).
+
+    Node blocks pack 16 nodes per (8, 128) block (8 lanes each); tri
+    blocks pack 12 groups per block (10 lanes each). The kernel reads a
+    block row-range and rotates the group's lanes to 0 with a dynamic
+    pltpu.roll.
+
+    Role replaced: OptiX hardware BVH traversal data
+    (reference csrc/host/scene.cu:89-160).
+
+    Returns (node_blocks (B*8, 128) f32, meta (N8, 2) i32,
+             tri_blocks (G*8, 128) f32, stack_bound).
+    """
+    count = bvh.count
+    n2 = count.shape[0]
+    empty = (np.full((8, 128), np.nan, F), np.zeros((1, 2), np.int32),
+             np.zeros((8, 128), F), 4)
+    if bvh.prim_order.shape[0] == 0:
+        return empty
+
+    # subtree prim ranges via preorder slices: subtree(i) = nodes
+    # [i, skip[i]); prim ranges of leaves are contiguous ascending
+    leaf_idx = np.nonzero(count > 0)[0]
+    lf = bvh.left_first.astype(np.int64)
+    assert np.all(
+        lf[leaf_idx][1:] == lf[leaf_idx][:-1] + count[leaf_idx][:-1]
+    ), "BVH prim ranges not contiguous in preorder"
+    csum = np.concatenate([[0], np.cumsum(count)]).astype(np.int64)
+    total = csum[bvh.skip] - csum[np.arange(n2)]
+    pos = np.searchsorted(leaf_idx, np.arange(n2))
+    first = lf[leaf_idx[np.minimum(pos, len(leaf_idx) - 1)]]
+
+    ext = np.maximum(bvh.node_max - bvh.node_min, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+
+    skip = bvh.skip
+
+    def mergeable(i):
+        return count[i] > 0 or total[i] <= LEAF8_MAX
+
+    # BFS collapse; node id = queue position; internal children contiguous
+    queue = [0]
+    qi = 0
+    node_slots = []   # per node: (internal bvh2 ids, leaf bvh2 ids)
+    child_base = []
+    depth = [0]
+    maxd = 0
+    while qi < len(queue):
+        r = queue[qi]
+        qi += 1
+        maxd = max(maxd, depth[qi - 1])
+        if mergeable(r):  # only possible for the root
+            node_slots.append(([], [r]))
+            child_base.append(0)
+            continue
+        cut = [r + 1, int(skip[r + 1])]
+        while len(cut) < N8_CHILD:
+            exp = [c for c in cut if not mergeable(c)]
+            if not exp:
+                break
+            j = max(exp, key=lambda c: (area[c], -c))
+            p = cut.index(j)
+            cut[p:p + 1] = [j + 1, int(skip[j + 1])]
+        ints = [c for c in cut if not mergeable(c)]
+        lvs = [c for c in cut if mergeable(c)]
+        child_base.append(len(queue))
+        queue.extend(ints)
+        depth.extend([depth[qi - 1] + 1] * len(ints))
+        node_slots.append((ints, lvs))
+    n8 = len(queue)
+
+    nb = _round_up(n8, N8_PER_BLOCK) // N8_PER_BLOCK
+    node_blocks = np.full((nb * 8, 128), np.nan, F)
+    meta = np.zeros((n8, 2), np.int32)
+    groups = []
+    for nid in range(n8):
+        ints, lvs = node_slots[nid]
+        ni, nl = len(ints), len(lvs)
+        lb = len(groups)
+        meta[nid, 0] = (child_base[nid] << 4) | ni
+        meta[nid, 1] = (lb << 4) | nl
+        b, g = divmod(nid, N8_PER_BLOCK)
+        for s, c in enumerate(ints):
+            node_blocks[b * 8 + s, g * 8:g * 8 + 3] = bvh.node_min[c]
+            node_blocks[b * 8 + s, g * 8 + 3:g * 8 + 6] = bvh.node_max[c]
+        for j, c in enumerate(lvs):
+            s = 7 - j
+            node_blocks[b * 8 + s, g * 8:g * 8 + 3] = bvh.node_min[c]
+            node_blocks[b * 8 + s, g * 8 + 3:g * 8 + 6] = bvh.node_max[c]
+            groups.append((int(first[c]), int(total[c])))
+
+    gb = _round_up(max(1, len(groups)), G8_PER_BLOCK) // G8_PER_BLOCK
+    tri_blocks = np.zeros((gb * 8, 128), F)
+    for q, (fst, cnt) in enumerate(groups):
+        b, j = divmod(q, G8_PER_BLOCK)
+        p0 = tri_pack[fst:fst + cnt, 0:3]
+        tri_blocks[b * 8:b * 8 + cnt, j * 10:j * 10 + 3] = p0
+        tri_blocks[b * 8:b * 8 + cnt, j * 10 + 3:j * 10 + 6] = (
+            tri_pack[fst:fst + cnt, 3:6] - p0)
+        tri_blocks[b * 8:b * 8 + cnt, j * 10 + 6:j * 10 + 9] = (
+            tri_pack[fst:fst + cnt, 6:9] - p0)
+        tri_blocks[b * 8:b * 8 + cnt, j * 10 + 9] = (
+            np.arange(fst, fst + cnt, dtype=np.int32).view(F))
+
+    return node_blocks, meta, tri_blocks, maxd + 3
+
+
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     if a.shape[0] >= n:
         return a
@@ -534,6 +680,10 @@ class _TriAccel(NamedTuple):
     bvh4_rows: np.ndarray   # (K, 128) one quad record per row
     tri_rows: np.ndarray    # (L, 128) 8-aligned leaf tri rows
     root_meta4r: int        # root meta in rowrec leaf numbering
+    t8_nodes: np.ndarray    # (B*8, 128) transposed BVH8 node blocks
+    t8_meta: np.ndarray     # (N8, 2) i32 per-node scalars (SMEM table)
+    t8_tris: np.ndarray     # (G*8, 128) transposed tri-group blocks
+    t8_stack: int           # stack bound for the bvh8t walk
 
 
 def _accel_tables(
@@ -599,6 +749,7 @@ def _accel_tables(
     bvh4_rows, tri_rows, root_meta4r = _rowrec_layout(
         bvh4_recs, tri_pack, root_meta4
     )
+    t8_nodes, t8_meta, t8_tris, t8_stack = _bvh8t_layout(bvh, tri_pack)
 
     if n_tris:
         root_min = prim_min.min(axis=0).astype(F)
@@ -616,6 +767,7 @@ def _accel_tables(
         int(n_tris), int(n_nodes), int(root_meta), int(bvh2_depth),
         int(root_meta4), int(bvh4_stack), root_min, root_max,
         bvh4_rows, tri_rows, int(root_meta4r),
+        t8_nodes, t8_meta, t8_tris, int(t8_stack),
     )
 
 
@@ -779,7 +931,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         blas_accels.append(b)
         blas_meta.append((b.n_tris, b.root_meta, b.bvh2_depth,
                           b.root_meta4, b.bvh4_stack, b.n_nodes,
-                          b.root_meta4r))
+                          b.root_meta4r, b.t8_stack))
         blas_shade_rows.append(_tri_shade_rows(b))
         corners = np.array(
             [[b.root_min[0] if sx < 0 else b.root_max[0],
@@ -1117,6 +1269,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         root_meta4=int(root_meta4),
         bvh4_stack=int(bvh4_stack),
         root_meta4r=int(acc.root_meta4r),
+        t8_stack=int(acc.t8_stack),
         blas_meta=tuple(blas_meta),
         instances=tuple(instances),
         inst_vtri_base0=int(inst_vtri_base0),
@@ -1140,6 +1293,9 @@ def compile_scene(scene: Scene) -> DeviceScene:
             tri_pack_pk=jnp.asarray(b.tri_pack_pk),
             bvh4_rows=jnp.asarray(b.bvh4_rows),
             tri_rows=jnp.asarray(b.tri_rows),
+            t8_nodes=jnp.asarray(b.t8_nodes),
+            t8_meta=jnp.asarray(b.t8_meta),
+            t8_tris=jnp.asarray(b.t8_tris),
         )
         for b in blas_accels
     )
@@ -1158,6 +1314,8 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh_nodes_pk=dev(bvh_nodes_pk), tri_pack_pk=dev(tri_pack_pk),
         bvh2_rows_pk=dev(bvh2_rows_pk), bvh4_recs_pk=dev(bvh4_recs_pk),
         bvh4_rows=dev(acc.bvh4_rows), tri_rows=dev(acc.tri_rows),
+        t8_nodes=dev(acc.t8_nodes), t8_meta=dev(acc.t8_meta),
+        t8_tris=dev(acc.t8_tris),
         bvh2_rows=dev(bvh2_rows),
         sph_center=dev(sph_center), sph_radius=dev(sph_radius),
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),

@@ -85,6 +85,10 @@ class AccelView(NamedTuple):
     bvh2_depth: int
     n_nodes: int
     root_meta4r: int
+    t8_nodes: object
+    t8_meta: object
+    t8_tris: object
+    t8_stack: int
 
 
 def _accel_of(ds, blas) -> AccelView:
@@ -95,29 +99,31 @@ def _accel_of(ds, blas) -> AccelView:
             ds.bvh4_rows, ds.tri_rows,
             m.n_tris, m.root_meta4, m.bvh4_stack, m.root_meta, m.bvh2_depth,
             m.n_bvh_nodes, m.root_meta4r,
+            ds.t8_nodes, ds.t8_meta, ds.t8_tris, m.t8_stack,
         )
     t = ds.blas_tables[blas]
     (n_tris, root_meta, bvh2_depth, root_meta4, bvh4_stack, n_nodes,
-     root_meta4r) = ds.meta.blas_meta[blas]
+     root_meta4r, t8_stack) = ds.meta.blas_meta[blas]
     return AccelView(
         t.bvh4_recs_pk, t.bvh2_rows_pk, t.bvh_nodes_pk, t.tri_pack_pk,
         t.bvh4_rows, t.tri_rows,
         n_tris, root_meta4, bvh4_stack, root_meta, bvh2_depth, n_nodes,
         root_meta4r,
+        t.t8_nodes, t.t8_meta, t.t8_tris, t8_stack,
     )
 
 
 def _kernel_kind() -> str:
     import os as _o
 
-    return _o.environ.get("TPU_RT_PALLAS_KERNEL", "quadrow")
+    return _o.environ.get("TPU_RT_PALLAS_KERNEL", "bvh8t")
 
 
 def _accel_supported(a: AccelView) -> bool:
     kind = _kernel_kind()
-    table = {"quad": a.recs_pk, "pair": a.rows_pk,
-             "quadrow": a.quad_rows}.get(kind, a.nodes_pk)
-    tris = a.tri_rows if kind == "quadrow" else a.tris_pk
+    table = {"quad": a.recs_pk, "pair": a.rows_pk, "quadrow": a.quad_rows,
+             "bvh8t": a.t8_nodes}.get(kind, a.nodes_pk)
+    tris = {"quadrow": a.tri_rows, "bvh8t": a.t8_tris}.get(kind, a.tris_pk)
     if not (a.n_tris > 0 and (table.size + tris.size) * 4 < VMEM_TABLE_BYTES):
         return False
     # deep/degenerate trees whose stack bound exceeds the kernel's SMEM
@@ -125,6 +131,8 @@ def _accel_supported(a: AccelView) -> bool:
     if kind in ("quad", "quadrow") and a.bvh4_stack > STACK_CAP:
         return False
     if kind == "pair" and a.bvh2_depth > STACK_CAP:
+        return False
+    if kind == "bvh8t" and a.t8_stack > STACK_CAP:
         return False
     return True
 
@@ -874,6 +882,257 @@ def _gridless_kernel(tile_kernel_factory, early_exit, root_meta, n_tris, g,
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# bvh8t: transposed wide-node walk (round-2 kernel)
+
+N8T_PER_BLOCK = 16   # nodes per (8, 128) node block (8 lanes each)
+G8T_PER_BLOCK = 12   # tri groups per (8, 128) tri block (10 lanes each)
+
+
+def _ffs8(m):
+    """Bit index of the lowest set bit of an 8-bit scalar mask (m != 0)."""
+    low = m & (-m)
+    return (
+        ((low & 0xAA) != 0).astype(jnp.int32)
+        | (((low & 0xCC) != 0).astype(jnp.int32) << 1)
+        | (((low & 0xF0) != 0).astype(jnp.int32) << 2)
+    ), low
+
+
+def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
+    """Transposed wide-node walk: children in SUBLANES, rays in LANES.
+
+    Round-2 redesign targeting the measured per-visit latency wall (~0.7 us,
+    docs/PERF_LOG.md): each visit of the previous kernels made ~7 serial
+    vector->scalar round trips (meta/axis extracts + vote reductions), and
+    the TPU's single in-order scalar core turns every one into a VPU sync.
+    This kernel makes exactly ONE vector->scalar crossing per node visit:
+
+    - the node's 8 child boxes are tested as pure (8, 128) vector ops
+      (children in sublanes, rays in lanes; box coords are lane-column
+      broadcasts of the rolled node block, ray data are sublane-row
+      broadcasts) — zero scalar extracts for geometry;
+    - the per-child hit votes collapse into one packed bitmask via a
+      lanes-axis reduce + weighted sublane sum -> single scalar read;
+    - per-node scalars come from an SMEM int32 table (scalar memory, no
+      VPU sync) and the shared stack holds (child_base<<8 | bitmask)
+      entries — a pop is ffs + clear, no per-slot select chains;
+    - leaf children (contiguous transposed tri groups, slots 7-j) are
+      intersected in an inner mask loop whose Moller-Trumbore runs fully
+      in the vector domain (8 tris x 128 rays per op, argmin winners via
+      sublane reductions) — zero additional scalar crossings.
+
+    Winner parity vs ops/traverse.py holds by AABB containment (see module
+    docstring); cross-leaf equal-t ties may resolve differently (visit
+    order + merged-group argmin), the documented measure-zero caveat.
+
+    Role replaced: OptiX hardware traversal (reference
+    csrc/host/scene.cu:89-160, kernels/pathtracer.cu:34-99).
+    """
+
+    def roll_lanes(x, sh):
+        if interpret:
+            return jnp.roll(x, -sh, axis=1)
+        return pltpu.roll(x, (LANE - sh) % LANE, axis=1)
+
+    def kernel(nodes_ref, tris_ref, meta_ref,
+               ox, oy, oz, dx, dy, dz, tmn, tmx, act,
+               t_out, best_out, visits_out, stack_ref):
+        sub_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+        wt = jnp.left_shift(jnp.int32(1), sub_col)          # (8, 1)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
+
+        def colb(x, k):
+            return jnp.broadcast_to(
+                jax.lax.slice(x, (0, k), (SUB, k + 1)), (SUB, LANE))
+
+        def rowb(x, r):
+            return jnp.broadcast_to(
+                jax.lax.slice(x, (r, 0), (r + 1, LANE)), (SUB, LANE))
+
+        def run_tile(i, _):
+            sl = pl.ds(i * R, R)
+            o = (ox[sl, :], oy[sl, :], oz[sl, :])
+            d = (dx[sl, :], dy[sl, :], dz[sl, :])
+            inv = tuple(1.0 / c for c in d)
+            t_min = tmn[sl, :]
+            live0 = (act[sl, :] > 0).astype(jnp.int32)
+            t_best0 = tmx[sl, :]
+            best0 = jnp.full((R, LANE), -1, jnp.int32)
+
+            stack_ref[0] = jnp.int32(1)   # (base 0)<<8 | mask 1 -> node 0
+
+            def cond(c):
+                return c[0] > 0
+
+            def body(c):
+                sp, nv, t_best, best = c
+                nv = nv + 1
+                e = stack_ref[sp - 1]
+                mask = e & 0xFF
+                base = jax.lax.shift_right_logical(e, 8)
+                slot, low = _ffs8(mask)
+                rem = mask - low
+                stack_ref[sp - 1] = (base << 8) | rem
+                sp = jnp.where(rem == 0, sp - 1, sp)
+                nid = base + slot
+
+                m0 = meta_ref[nid, 0]
+                m1 = meta_ref[nid, 1]
+                cbase = jax.lax.shift_right_logical(m0, 4)
+                ni = m0 & 15
+                lbase = jax.lax.shift_right_logical(m1, 4)
+
+                blk = nodes_ref[pl.ds((nid // N8T_PER_BLOCK) * SUB, SUB), :]
+                blk = roll_lanes(blk, (nid % N8T_PER_BLOCK) * 8)
+                box = [colb(blk, k) for k in range(6)]
+
+                if early_exit:
+                    want = live0 * (best == -1).astype(jnp.int32)
+                else:
+                    want = live0
+
+                cnt = jnp.zeros((SUB, 1), jnp.int32)
+                hits = []
+                for r in range(R):
+                    t0 = jnp.full((SUB, LANE), -INF)
+                    t1 = jnp.full((SUB, LANE), INF)
+                    for ax in range(3):
+                        ob = rowb(o[ax], r)
+                        ib = rowb(inv[ax], r)
+                        a = (box[ax] - ob) * ib
+                        b = (box[3 + ax] - ob) * ib
+                        t0 = jnp.maximum(t0, jnp.minimum(a, b))
+                        t1 = jnp.minimum(t1, jnp.maximum(a, b))
+                    h = ((t0 <= t1) & (t1 >= rowb(t_min, r))
+                         & (t0 <= rowb(t_best, r)) & (rowb(want, r) > 0))
+                    hits.append(h)
+                    cnt = cnt + jnp.sum(h.astype(jnp.int32), axis=1,
+                                        keepdims=True)
+
+                bits = jnp.where(cnt > 0, wt, 0)
+                mask_s = jnp.sum(bits)       # the ONE vector->scalar drain
+                if early_exit:
+                    aw = jnp.sum(want)
+
+                imask = mask_s & ((jnp.int32(1) << ni) - 1)
+
+                @pl.when(imask != 0)
+                def _():
+                    stack_ref[sp] = (cbase << 8) | imask
+
+                sp = jnp.where(imask != 0, sp + 1, sp)
+
+                # remaining hit bits sit in leaf child slots s = 7-j
+                # (empty slots have NaN boxes and can never vote)
+                def lcond(lc):
+                    return lc[0] != 0
+
+                def lbody(lc):
+                    lm, t_best, best = lc
+                    s, llow = _ffs8(lm)
+                    lm = lm - llow
+                    q = lbase + (7 - s)
+                    tb = tris_ref[pl.ds((q // G8T_PER_BLOCK) * SUB, SUB), :]
+                    tb = roll_lanes(tb, (q % G8T_PER_BLOCK) * 10)
+                    p0 = [colb(tb, k) for k in range(3)]
+                    e1 = [colb(tb, 3 + k) for k in range(3)]
+                    e2 = [colb(tb, 6 + k) for k in range(3)]
+                    idb = jnp.broadcast_to(
+                        jax.lax.bitcast_convert_type(
+                            jax.lax.slice(tb, (0, 9), (SUB, 10)), jnp.int32),
+                        (SUB, LANE))
+                    sel = sub_iota == s
+                    for r in range(R):
+                        hm = jnp.sum((hits[r] & sel).astype(jnp.int32),
+                                     axis=0, keepdims=True)      # (1, 128)
+                        hm8 = jnp.broadcast_to(hm, (SUB, LANE)) > 0
+                        dr = [rowb(d[ax], r) for ax in range(3)]
+                        orr = [rowb(o[ax], r) for ax in range(3)]
+                        pv0 = dr[1] * e2[2] - dr[2] * e2[1]
+                        pv1 = dr[2] * e2[0] - dr[0] * e2[2]
+                        pv2 = dr[0] * e2[1] - dr[1] * e2[0]
+                        den = pv0 * e1[0] + pv1 * e1[1] + pv2 * e1[2]
+                        sden = jnp.where(den == 0.0, 1.0, den)
+                        tv = [orr[k] - p0[k] for k in range(3)]
+                        u = (pv0 * tv[0] + pv1 * tv[1] + pv2 * tv[2]) / sden
+                        qv0 = tv[1] * e1[2] - tv[2] * e1[1]
+                        qv1 = tv[2] * e1[0] - tv[0] * e1[2]
+                        qv2 = tv[0] * e1[1] - tv[1] * e1[0]
+                        v = (qv0 * dr[0] + qv1 * dr[1] + qv2 * dr[2]) / sden
+                        t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
+                        tb_row = jax.lax.slice(t_best, (r, 0), (r + 1, LANE))
+                        ok = ((den != 0.0)
+                              & (u >= 0.0) & (u <= 1.0)
+                              & (v >= 0.0) & (u + v <= 1.0)
+                              & (t >= rowb(t_min, r))
+                              & (t <= jnp.broadcast_to(tb_row, (SUB, LANE)))
+                              & hm8)
+                        t_sl = jnp.where(ok, t, INF)
+                        tg = jnp.min(t_sl, axis=0, keepdims=True)  # (1, 128)
+                        tg8 = jnp.broadcast_to(tg, (SUB, LANE))
+                        idw = jnp.min(
+                            jnp.where(t_sl == tg8, idb, jnp.int32(1 << 30)),
+                            axis=0, keepdims=True)
+                        # row-r writeback: static sublane mask select
+                        # (Mosaic has no dynamic_update_slice)
+                        sel_r = row_iota == r
+                        updR = jnp.broadcast_to(tg, (R, LANE)) < INF
+                        take = sel_r & updR
+                        t_best = jnp.where(
+                            take, jnp.broadcast_to(tg, (R, LANE)), t_best)
+                        best = jnp.where(
+                            take, jnp.broadcast_to(idw, (R, LANE)), best)
+                    return lm, t_best, best
+
+                _, t_best, best = jax.lax.while_loop(
+                    lcond, lbody, (mask_s - imask, t_best, best))
+
+                if early_exit:
+                    sp = jnp.where(aw == 0, 0, sp)
+                return sp, nv, t_best, best
+
+            _, nv, t_best, best = jax.lax.while_loop(
+                cond, body, (jnp.int32(1), jnp.int32(0), t_best0, best0))
+            t_out[sl, :] = t_best
+            best_out[sl, :] = best
+            visits_out[i, 0] = nv
+            return 0
+
+        jax.lax.fori_loop(0, g, run_tile, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
+    interpret, R = shape_key
+    g = cols[0].shape[0] // R
+    kernel = _t8_kernel(early_exit, g, R, interpret)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((g * R, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g * R, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((g, 1), jnp.int32),
+        ),
+        in_specs=[full, full, pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [full] * 9,
+        out_specs=(full, full, pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
+        interpret=interpret,
+    )(nodes, tris, meta, *cols)
+
+
+def t8_rows() -> int:
+    """Ray rows per bvh8t walk tile (tile = rows*128 rays)."""
+    import os as _o
+
+    return max(1, int(_o.environ.get("TPU_RT_T8_R", "8")))
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def _quad_tiles(shape_key, quads_pk, tris_pk, early_exit, cols):
     root_meta, n_tris, interpret, tsub, count_visits, probe, rowrec = shape_key
@@ -970,8 +1229,9 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
     """
     av = _accel_of(ds, blas)
     B = origin.shape[0]
+    kind = _kernel_kind()
     k = tile_k()
-    tsub = SUB * k
+    tsub = t8_rows() if kind == "bvh8t" else SUB * k
     pad = (-B) % (tsub * LANE)
     total = B + pad
 
@@ -989,9 +1249,17 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
     interpret = jax.default_backend() != "tpu"
     import os as _o
 
-    kind = _kernel_kind()
     visits = None
-    if kind in ("quad", "quadrow"):
+    if kind == "bvh8t":
+        if av.t8_stack > STACK_CAP:
+            raise ValueError(
+                f"bvh8t stack bound {av.t8_stack} exceeds {STACK_CAP}"
+            )
+        t, best, visits = _t8_tiles(
+            (interpret, tsub), av.t8_nodes, av.t8_tris, av.t8_meta,
+            early_exit, cols,
+        )
+    elif kind in ("quad", "quadrow"):
         if av.bvh4_stack > STACK_CAP:
             raise ValueError(
                 f"BVH4 stack bound {av.bvh4_stack} exceeds {STACK_CAP}"
