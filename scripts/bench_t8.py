@@ -69,13 +69,16 @@ def main():
                     _, _, visits = intersect_tris_pallas(
                         ds, o, d, tmin, tmax, act, early_exit=early,
                         with_visits=True)
-                    visits = np.asarray(visits)
+                    packed = np.asarray(visits)
+                    nodev = packed & 0xFFFF
+                    leafv = packed >> 16
+                    tot = nodev.sum() + leafv.sum()
                     log(
                         f"R={r:2d} {name:9s}: {N / dt / 1e6:8.2f} Mrays/s "
                         f"({dt * 1e3:7.2f} ms, compile {compile_s:.1f}s) "
-                        f"visits/tile mean={visits.mean():.0f} "
-                        f"max={visits.max()} total={visits.sum()} "
-                        f"ns/visit={dt * 1e9 / max(1, visits.sum()):.0f}"
+                        f"node visits total={nodev.sum()} "
+                        f"leaf iters total={leafv.sum()} "
+                        f"ns/iter={dt * 1e9 / max(1, tot):.0f}"
                     )
                     break
                 except Exception as e:

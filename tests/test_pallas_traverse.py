@@ -157,3 +157,59 @@ def test_bvh8t_occlusion_parity(bunny_ds, monkeypatch):
     np.testing.assert_array_equal(
         (np.asarray(p_p) >= 0)[tri], occ_ref[tri]
     )
+
+
+def test_bvh8t_chunked_big_scene(monkeypatch):
+    """Big scenes partition into VMEM-sized chunk passes whose union is
+    the exact closest hit (scalability path; tiny budget forces chunks)."""
+    monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "bvh8t")
+    monkeypatch.setenv("TPU_RT_T8_CHUNK_BYTES", str(64 * 1024))
+    from tpu_raytracing.geometry import Mesh, TriangleMesh, v3, v4
+    from tpu_raytracing.materials import Diffuse
+    from tpu_raytracing.scene import SceneBuilder
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    base = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    verts = np.concatenate(
+        [base, base + rng.normal(0, 0.05, (n, 3)).astype(np.float32),
+         base + rng.normal(0, 0.05, (n, 3)).astype(np.float32)], axis=1
+    ).reshape(n * 3, 3).astype(np.float32)
+    mesh = Mesh(
+        vertices=verts,
+        tris=np.arange(n * 3, dtype=np.uint32).reshape(n, 3),
+    )
+    from tpu_raytracing.scene.camera import Camera
+
+    sb = SceneBuilder()
+    sb.add_camera(
+        Camera.lookat_camera_perspective(
+            v3(0, 0, 5), v3(0, 0, 0), v3(0, 1, 0), False,
+            np.deg2rad(45.0), 64, 64,
+        )
+    )
+    alb = sb.add_constant_texture(v4(0.5, 0.5, 0.5, 1))
+    mat = sb.add_material(Diffuse(albedo=alb))
+    sb.add_shape_at_position(TriangleMesh(mesh), mat, v3(0, 0, 0))
+    scene = sb.build()
+    ds = compile_scene(scene)
+    assert len(ds.meta.t8_chunk_meta) > 1, "expected chunked accel"
+    assert supports(ds)
+
+    B = 1024
+    rng2 = np.random.default_rng(3)
+    o = rng2.uniform(-2, 2, (B, 3)).astype(np.float32)
+    d = rng2.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmin = jnp.full(B, 1e-3)
+    tmax = jnp.full(B, jnp.inf)
+
+    import tpu_raytracing.ops.traverse as TT
+    t_ref, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)
+    monkeypatch.setattr(TT, "_use_pallas", lambda _ds: True)
+    t_c, p_c = TT.intersect_scene(ds, o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_c))
+    sel = np.asarray(p_ref) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t_c)[sel], np.asarray(t_ref)[sel], rtol=1e-5)

@@ -101,6 +101,8 @@ class SceneMeta:
     root_meta4r: int = -1
     # transposed BVH8 walk (bvh8t): stack bound
     t8_stack: int = 4
+    # big-scene chunked accel: per-chunk (stack, root_min3, root_max3)
+    t8_chunk_meta: Tuple[Tuple, ...] = ()
     # instancing (TLAS-over-shared-BLAS equivalent): per-BLAS statics
     # (n_tris, root_meta, bvh2_depth, root_meta4, bvh4_stack, n_nodes,
     #  root_meta4r, t8_stack)
@@ -168,6 +170,8 @@ class DeviceScene:
     t8_nodes: jax.Array       # (B*8, 128) transposed BVH8 node blocks
     t8_meta: jax.Array        # (N8, 2) i32 per-node scalars (SMEM)
     t8_tris: jax.Array        # (G*8, 128) transposed tri-group blocks
+    # big-scene chunked accel: tuple of (nodes, meta, tris) per chunk
+    t8_chunks: Tuple
     # single-gather shading rows (XLA gathers cost ~the same per ROW
     # regardless of width, so 13 narrow gathers fold into 1 wide one):
     # tri_shade (T, 32): p0 p1 p2 n0 n1 n2 uv0 uv1 uv2 | bits: mat light
@@ -584,6 +588,76 @@ def _bvh8t_layout(bvh, tri_pack):
     return node_blocks, meta, tri_blocks, maxd + 3
 
 
+# VMEM budget for one bvh8t chunk's resident tables (kernel stages node +
+# tri blocks into VMEM whole; keep well under the ~16 MB/core of VMEM so
+# ray columns and outputs fit alongside)
+T8_CHUNK_BYTES = 6 * 1024 * 1024
+
+
+def _bvh2_slice(bvh, r: int):
+    """Self-contained LinearBVH view of subtree [r, skip[r]) (global prim
+    numbering preserved — leaf left_first stays an index into the full
+    prim-ordered triangle tables)."""
+    from ..accel.bvh import LinearBVH
+
+    s = int(bvh.skip[r])
+    return LinearBVH(
+        node_min=bvh.node_min[r:s],
+        node_max=bvh.node_max[r:s],
+        left_first=bvh.left_first[r:s],
+        count=bvh.count[r:s],
+        skip=np.clip(bvh.skip[r:s] - r, 0, s - r).astype(np.int32),
+        prim_order=bvh.prim_order,
+    )
+
+
+def _t8_chunk_layout(bvh, tri_pack, budget=None):
+    """Partition the BVH2 into subtree chunks whose bvh8t tables each fit
+    the VMEM budget; each chunk becomes an independent transposed accel
+    traversed as one masked pass (pseudo-BLAS with identity transform).
+
+    This is the scalability path for scenes whose full tables exceed VMEM
+    (VERDICT r1 item 4): the union of chunk passes is the exact closest
+    hit because t_best chains across passes, and each pass is gated by the
+    chunk root AABB slab so far-away tiles exit at the root.
+
+    Returns list of (node_blocks, meta, tri_blocks, stack, root_min,
+    root_max) — empty list if the whole scene fits (caller uses the single
+    resident layout).
+    """
+    if budget is None:
+        budget = int(os.environ.get("TPU_RT_T8_CHUNK_BYTES", T8_CHUNK_BYTES))
+    # conservative per-subtree byte estimate: tri groups dominate
+    csum = np.concatenate([[0], np.cumsum(bvh.count)]).astype(np.int64)
+
+    def est_bytes(r):
+        s = int(bvh.skip[r])
+        n_t = int(csum[s] - csum[r])
+        n_nodes = s - r
+        return n_t * 80 + n_nodes * 40
+
+    if est_bytes(0) <= budget:
+        return []
+    parts = []
+    stack = [0]
+    while stack:
+        r = stack.pop()
+        if bvh.count[r] > 0 or est_bytes(r) <= budget:
+            parts.append(r)
+        else:
+            stack.append(int(bvh.skip[r + 1]))
+            stack.append(r + 1)
+    out = []
+    for r in parts:
+        sl = _bvh2_slice(bvh, r)
+        nodes, meta, tris, stk = _bvh8t_layout(sl, tri_pack)
+        assert (nodes.size + tris.size) * 4 <= 1.5 * budget, (
+            "t8 chunk exceeded budget estimate")
+        out.append((nodes, meta, tris, stk,
+                    bvh.node_min[r].copy(), bvh.node_max[r].copy()))
+    return out
+
+
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     if a.shape[0] >= n:
         return a
@@ -684,6 +758,7 @@ class _TriAccel(NamedTuple):
     t8_meta: np.ndarray     # (N8, 2) i32 per-node scalars (SMEM table)
     t8_tris: np.ndarray     # (G*8, 128) transposed tri-group blocks
     t8_stack: int           # stack bound for the bvh8t walk
+    t8_chunks: list         # VMEM-sized subtree accels (big scenes)
 
 
 def _accel_tables(
@@ -750,6 +825,7 @@ def _accel_tables(
         bvh4_recs, tri_pack, root_meta4
     )
     t8_nodes, t8_meta, t8_tris, t8_stack = _bvh8t_layout(bvh, tri_pack)
+    t8_chunks = _t8_chunk_layout(bvh, tri_pack)
 
     if n_tris:
         root_min = prim_min.min(axis=0).astype(F)
@@ -767,7 +843,7 @@ def _accel_tables(
         int(n_tris), int(n_nodes), int(root_meta), int(bvh2_depth),
         int(root_meta4), int(bvh4_stack), root_min, root_max,
         bvh4_rows, tri_rows, int(root_meta4r),
-        t8_nodes, t8_meta, t8_tris, int(t8_stack),
+        t8_nodes, t8_meta, t8_tris, int(t8_stack), t8_chunks,
     )
 
 
@@ -1270,6 +1346,10 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh4_stack=int(bvh4_stack),
         root_meta4r=int(acc.root_meta4r),
         t8_stack=int(acc.t8_stack),
+        t8_chunk_meta=tuple(
+            (int(stk), tuple(float(v) for v in mn), tuple(float(v) for v in mx))
+            for (_n, _m, _t, stk, mn, mx) in acc.t8_chunks
+        ),
         blas_meta=tuple(blas_meta),
         instances=tuple(instances),
         inst_vtri_base0=int(inst_vtri_base0),
@@ -1316,6 +1396,10 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh4_rows=dev(acc.bvh4_rows), tri_rows=dev(acc.tri_rows),
         t8_nodes=dev(acc.t8_nodes), t8_meta=dev(acc.t8_meta),
         t8_tris=dev(acc.t8_tris),
+        t8_chunks=tuple(
+            (dev(n), dev(m), dev(t))
+            for (n, m, t, _stk, _mn, _mx) in acc.t8_chunks
+        ),
         bvh2_rows=dev(bvh2_rows),
         sph_center=dev(sph_center), sph_radius=dev(sph_radius),
         sph_o2w=dev(sph_o2w), sph_w2o=dev(sph_w2o),

@@ -119,8 +119,12 @@ def _kernel_kind() -> str:
     return _o.environ.get("TPU_RT_PALLAS_KERNEL", "bvh8t")
 
 
-def _accel_supported(a: AccelView) -> bool:
+def _accel_supported(a: AccelView, chunked: bool = False) -> bool:
     kind = _kernel_kind()
+    if kind == "bvh8t" and chunked:
+        # big scene split into VMEM-sized subtree chunks: each chunk pass
+        # stages its own tables, so the resident-size gate does not apply
+        return a.n_tris > 0
     table = {"quad": a.recs_pk, "pair": a.rows_pk, "quadrow": a.quad_rows,
              "bvh8t": a.t8_nodes}.get(kind, a.nodes_pk)
     tris = {"quadrow": a.tri_rows, "bvh8t": a.t8_tris}.get(kind, a.tris_pk)
@@ -139,7 +143,9 @@ def _accel_supported(a: AccelView) -> bool:
 
 def supports(ds) -> bool:
     """True when the main accel and every shared BLAS fit the kernel."""
-    if ds.meta.n_tris > 0 and not _accel_supported(_accel_of(ds, None)):
+    if ds.meta.n_tris > 0 and not _accel_supported(
+        _accel_of(ds, None), chunked=bool(ds.meta.t8_chunk_meta)
+    ):
         return False
     if ds.meta.n_tris == 0 and not ds.meta.instances:
         return False
@@ -968,7 +974,7 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
 
             def body(c):
                 sp, nv, t_best, best = c
-                nv = nv + 1
+                nv = nv + 1   # low 16 bits: node visits; high: leaf iters
                 e = stack_ref[sp - 1]
                 mask = e & 0xFF
                 base = jax.lax.shift_right_logical(e, 8)
@@ -1030,7 +1036,8 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
                     return lc[0] != 0
 
                 def lbody(lc):
-                    lm, t_best, best = lc
+                    lm, nv, t_best, best = lc
+                    nv = nv + (1 << 16)
                     s, llow = _ffs8(lm)
                     lm = lm - llow
                     q = lbase + (7 - s)
@@ -1084,10 +1091,10 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
                             take, jnp.broadcast_to(tg, (R, LANE)), t_best)
                         best = jnp.where(
                             take, jnp.broadcast_to(idw, (R, LANE)), best)
-                    return lm, t_best, best
+                    return lm, nv, t_best, best
 
-                _, t_best, best = jax.lax.while_loop(
-                    lcond, lbody, (mask_s - imask, t_best, best))
+                _, nv, t_best, best = jax.lax.while_loop(
+                    lcond, lbody, (mask_s - imask, nv, t_best, best))
 
                 if early_exit:
                     sp = jnp.where(aw == 0, 0, sp)
@@ -1219,15 +1226,20 @@ def tile_k() -> int:
 
 
 def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
-                          early_exit=False, with_visits=False, blas=None):
+                          early_exit=False, with_visits=False, blas=None,
+                          t8_chunk=None):
     """Triangle-closest-hit via the lockstep kernel. Returns (t, best).
 
-    with_visits=True (quad kernel only) additionally returns the per-tile
-    node-visit counts (g,) — diagnostics for BVH quality / kernel tuning.
-    blas selects a shared-BLAS accel (instanced geometry, object-space rays)
-    instead of the main world-space accel.
+    with_visits=True additionally returns the per-tile visit counts (g,)
+    — diagnostics for BVH quality / kernel tuning. blas selects a shared-
+    BLAS accel (instanced geometry, object-space rays); t8_chunk selects
+    one VMEM-sized subtree chunk of a big scene (bvh8t only).
     """
     av = _accel_of(ds, blas)
+    if t8_chunk is not None:
+        n, m, t = ds.t8_chunks[t8_chunk]
+        stk = ds.meta.t8_chunk_meta[t8_chunk][0]
+        av = av._replace(t8_nodes=n, t8_meta=m, t8_tris=t, t8_stack=stk)
     B = origin.shape[0]
     kind = _kernel_kind()
     k = tile_k()
