@@ -213,3 +213,24 @@ def test_bvh8t_chunked_big_scene(monkeypatch):
     sel = np.asarray(p_ref) >= 0
     np.testing.assert_allclose(
         np.asarray(t_c)[sel], np.asarray(t_ref)[sel], rtol=1e-5)
+
+
+def test_bvh8t_width16_parity(monkeypatch):
+    """16-wide transposed nodes (two sublane blocks, 16-bit masks) stay
+    bit-faithful; scene compiled fresh under TPU_RT_T8_W=16."""
+    monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "bvh8t")
+    monkeypatch.setenv("TPU_RT_T8_W", "16")
+    ds = compile_scene(get_test_scene("coated_diffuse_bunny").scene_func())
+    assert ds.meta.t8_width == 16
+    B = 1024
+    o, d = _rays(ds, B, 17)
+    tmin = jnp.full(B, 1e-3)
+    tmax = jnp.full(B, jnp.inf)
+    t_ref, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)
+    t_p, p_p = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool),
+    )
+    p_ref, p_p = np.asarray(p_ref), np.asarray(p_p)
+    tri_lanes = p_ref < ds.meta.n_tris
+    np.testing.assert_array_equal(p_ref[tri_lanes], p_p[tri_lanes])

@@ -99,8 +99,9 @@ class SceneMeta:
     bvh4_stack: int = 4
     # rowrec (switch-free) walk: root meta in rowrec leaf numbering
     root_meta4r: int = -1
-    # transposed BVH8 walk (bvh8t): stack bound
+    # transposed BVH8 walk (bvh8t): stack bound + node width (8 or 16)
     t8_stack: int = 4
+    t8_width: int = 8
     # big-scene chunked accel: per-chunk (stack, root_min3, root_max3)
     t8_chunk_meta: Tuple[Tuple, ...] = ()
     # instancing (TLAS-over-shared-BLAS equivalent): per-BLAS statics
@@ -450,10 +451,16 @@ def _rowrec_layout(recs: np.ndarray, tri_pack: np.ndarray, root_meta4: int):
     return rows, tri_rows, int(root_meta4)
 
 
-N8_CHILD = 8       # children per transposed wide node (one 8-sublane block)
 LEAF8_MAX = 8      # max tris per merged leaf child (= one tri-group block)
-N8_PER_BLOCK = 16  # nodes per (8, 128) node block (8 lanes each)
+N8_PER_BLOCK = 16  # nodes per node block (16 lane groups of 8 lanes)
 G8_PER_BLOCK = 12  # tri groups per (8, 128) tri block (10 lanes each)
+
+
+def _t8_width() -> int:
+    """Transposed-node child count (8 = one sublane block, 16 = two)."""
+    w = int(os.environ.get("TPU_RT_T8_W", "8"))
+    assert w in (8, 16)
+    return w
 
 
 def _bvh8t_layout(bvh, tri_pack):
@@ -471,7 +478,7 @@ def _bvh8t_layout(bvh, tri_pack):
       are column broadcasts, ray data are row broadcasts.
     - per-node scalars (child base, leaf base, counts) live in a separate
       int32 table read from SMEM (scalar memory — no VPU sync), packed as
-      meta0 = child_base<<4|n_internal, meta1 = leaf_base<<4|n_leaf.
+      meta0 = child_base<<5|n_internal, meta1 = leaf_base<<5|n_leaf.
     - internal children of a node get CONTIGUOUS node ids, so the stack
       holds (base, pending-bitmask) entries and a pop is ffs + clear — no
       per-slot select chains.
@@ -494,9 +501,10 @@ def _bvh8t_layout(bvh, tri_pack):
     Returns (node_blocks (B*8, 128) f32, meta (N8, 2) i32,
              tri_blocks (G*8, 128) f32, stack_bound).
     """
+    w = _t8_width()
     count = bvh.count
     n2 = count.shape[0]
-    empty = (np.full((8, 128), np.nan, F), np.zeros((1, 2), np.int32),
+    empty = (np.full((w, 128), np.nan, F), np.zeros((1, 2), np.int32),
              np.zeros((8, 128), F), 4)
     if bvh.prim_order.shape[0] == 0:
         return empty
@@ -537,7 +545,7 @@ def _bvh8t_layout(bvh, tri_pack):
             child_base.append(0)
             continue
         cut = [r + 1, int(skip[r + 1])]
-        while len(cut) < N8_CHILD:
+        while len(cut) < w:
             exp = [c for c in cut if not mergeable(c)]
             if not exp:
                 break
@@ -553,23 +561,23 @@ def _bvh8t_layout(bvh, tri_pack):
     n8 = len(queue)
 
     nb = _round_up(n8, N8_PER_BLOCK) // N8_PER_BLOCK
-    node_blocks = np.full((nb * 8, 128), np.nan, F)
+    node_blocks = np.full((nb * w, 128), np.nan, F)
     meta = np.zeros((n8, 2), np.int32)
     groups = []
     for nid in range(n8):
         ints, lvs = node_slots[nid]
         ni, nl = len(ints), len(lvs)
         lb = len(groups)
-        meta[nid, 0] = (child_base[nid] << 4) | ni
-        meta[nid, 1] = (lb << 4) | nl
+        meta[nid, 0] = (child_base[nid] << 5) | ni
+        meta[nid, 1] = (lb << 5) | nl
         b, g = divmod(nid, N8_PER_BLOCK)
         for s, c in enumerate(ints):
-            node_blocks[b * 8 + s, g * 8:g * 8 + 3] = bvh.node_min[c]
-            node_blocks[b * 8 + s, g * 8 + 3:g * 8 + 6] = bvh.node_max[c]
+            node_blocks[b * w + s, g * 8:g * 8 + 3] = bvh.node_min[c]
+            node_blocks[b * w + s, g * 8 + 3:g * 8 + 6] = bvh.node_max[c]
         for j, c in enumerate(lvs):
-            s = 7 - j
-            node_blocks[b * 8 + s, g * 8:g * 8 + 3] = bvh.node_min[c]
-            node_blocks[b * 8 + s, g * 8 + 3:g * 8 + 6] = bvh.node_max[c]
+            s = w - 1 - j
+            node_blocks[b * w + s, g * 8:g * 8 + 3] = bvh.node_min[c]
+            node_blocks[b * w + s, g * 8 + 3:g * 8 + 6] = bvh.node_max[c]
             groups.append((int(first[c]), int(total[c])))
 
     gb = _round_up(max(1, len(groups)), G8_PER_BLOCK) // G8_PER_BLOCK
@@ -1346,6 +1354,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         bvh4_stack=int(bvh4_stack),
         root_meta4r=int(acc.root_meta4r),
         t8_stack=int(acc.t8_stack),
+        t8_width=_t8_width(),
         t8_chunk_meta=tuple(
             (int(stk), tuple(float(v) for v in mn), tuple(float(v) for v in mx))
             for (_n, _m, _t, stk, mn, mx) in acc.t8_chunks

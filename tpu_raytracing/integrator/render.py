@@ -107,6 +107,23 @@ def trace_radiance(
     f32 = ray_o.dtype
     kinds = ds.meta.mat_kinds_present
 
+    # once-per-bounce path-state coherence sort (TPU_RT_BOUNCE_SORT=1,
+    # off by default): the whole state crosses ONE wide packed gather per
+    # bounce and every traversal/shadow call runs presorted. Measured
+    # A/B on cbbunny 8spp: device-op time improves (fewer gathers) but
+    # WALL throughput drops 11.4 -> 3.4 Mrays/s — the in-loop gather sits
+    # on the while-body critical path with nothing to overlap it, while
+    # the per-call sorts' gathers run as async slices overlapped with
+    # kernel work. Kept behind the env flag for future investigation.
+    from ..ops.traverse import _use_pallas, ray_sort_key
+
+    import os as _os
+
+    sort_bounces = (
+        _use_pallas(ds)
+        and _os.environ.get("TPU_RT_BOUNCE_SORT", "0") == "1"
+    )
+
     state = dict(
         depth=jnp.zeros((), jnp.int32),
         ray_o=ray_o,
@@ -117,6 +134,7 @@ def trace_radiance(
         path_weight=jnp.ones((B_, 3), f32),
         stream=stream,
         rays=jnp.zeros((), jnp.int32),
+        src=jnp.arange(B_, dtype=jnp.int32),
     )
 
     def cond(s):
@@ -140,6 +158,7 @@ def trace_radiance(
             jnp.broadcast_to(t_min, (B_,)),
             jnp.broadcast_to(t_max, (B_,)),
             active=alive,
+            presorted=sort_bounces,
         )
         hit_mask = prim >= 0
         miss = alive & ~hit_mask
@@ -201,6 +220,7 @@ def trace_radiance(
                     jnp.full(B_, 1.0e-3, f32),
                     ls.distance - 1.0e-3,
                     active=nee_mask,
+                    presorted=sort_bounces,
                 )
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
                 f = bsdf_eval(params, wo, wi, kinds)
@@ -233,6 +253,41 @@ def trace_radiance(
         ray_o = jnp.where(alive[:, None], hit.point, ray_o)
         ray_d = jnp.where(alive[:, None], new_d, ray_d)
 
+        src = s["src"]
+        if sort_bounces:
+            # permute the whole path state toward the NEXT bounce's ray
+            # coherence; dead lanes sort last so their lockstep tiles
+            # terminate at the root
+            key = ray_sort_key(ds, ray_o, ray_d)
+            key = key | ((~alive).astype(jnp.int32) << 25)
+            iota = jnp.arange(B_, dtype=jnp.int32)
+            _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
+            bits = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+                a, jnp.float32)[:, None]
+            pk = jnp.concatenate(
+                [
+                    ray_o, ray_d, radiance, pw,
+                    alive.astype(f32)[:, None],
+                    specular.astype(f32)[:, None],
+                    bits(stream.px), bits(stream.py),
+                    bits(stream.sample), bits(stream.dim),
+                    bits(src),
+                ],
+                axis=1,
+            )[order]
+            u32 = jnp.uint32
+            rebit = lambda c, dt: jax.lax.bitcast_convert_type(  # noqa: E731
+                pk[:, c], dt)
+            ray_o, ray_d = pk[:, 0:3], pk[:, 3:6]
+            radiance, pw = pk[:, 6:9], pk[:, 9:12]
+            alive = pk[:, 12] > 0
+            specular = pk[:, 13] > 0
+            stream = stream._replace(
+                px=rebit(14, u32), py=rebit(15, u32),
+                sample=rebit(16, u32), dim=rebit(17, u32),
+            )
+            src = rebit(18, jnp.int32)
+
         return dict(
             depth=depth,
             ray_o=ray_o,
@@ -243,10 +298,16 @@ def trace_radiance(
             path_weight=pw,
             stream=stream,
             rays=rays,
+            src=src,
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["radiance"], out["rays"]
+    radiance = out["radiance"]
+    if sort_bounces:
+        iota = jnp.arange(B_, dtype=jnp.int32)
+        _, inv = jax.lax.sort_key_val(out["src"], iota, is_stable=True)
+        radiance = radiance[inv]
+    return radiance, out["rays"]
 
 
 @partial(jax.jit, static_argnums=(1, 2))

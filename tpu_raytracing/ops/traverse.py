@@ -224,8 +224,14 @@ def intersect_scene(
     t_max: jax.Array,      # (B,)
     early_exit: bool = False,
     active: jax.Array | None = None,
+    presorted: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Closest-hit (or any-hit) query. Returns (t, encoded prim or -1)."""
+    """Closest-hit (or any-hit) query. Returns (t, encoded prim or -1).
+
+    presorted=True asserts the caller already ordered lanes coherently
+    (e.g. the integrator's once-per-bounce path-state sort); the Pallas
+    path then skips its internal sort + permutation gathers.
+    """
     B = origin.shape[0]
     n_tris = ds.meta.n_tris
     t_best = jnp.broadcast_to(t_max, (B,)).astype(jnp.float32)
@@ -258,25 +264,32 @@ def intersect_scene(
         # per-lane state crosses the permutation as ONE wide packed gather
         # in and one out, instead of 5-7 narrow gathers per pass (profiled
         # at ~0.5-1 ms each at B=131072 — they dominated device time).
+        # presorted=True skips the permutation entirely: the integrator
+        # sorts the whole path state once per bounce instead.
         act0 = active & (best < 0) if early_exit else active
-        key = ray_sort_key(ds, origin, direction)
-        key = key | ((~act0).astype(jnp.int32) << 25)
-        iota = jnp.arange(B, dtype=jnp.int32)
-        _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
-        _, inv = jax.lax.sort_key_val(order, iota, is_stable=True)
-        packed = jnp.concatenate(
-            [
-                origin, direction,
-                t_min[:, None], t_best[:, None],
-                act0.astype(jnp.float32)[:, None],
-                jax.lax.bitcast_convert_type(best, jnp.float32)[:, None],
-            ],
-            axis=1,
-        )[order]
-        s_o, s_d = packed[:, 0:3], packed[:, 3:6]
-        s_tmin, s_tbest = packed[:, 6], packed[:, 7]
-        s_act = packed[:, 8] > 0
-        s_best = jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32)
+        if presorted:
+            s_o, s_d = origin, direction
+            s_tmin, s_tbest = t_min, t_best
+            s_act, s_best = act0, best
+        else:
+            key = ray_sort_key(ds, origin, direction)
+            key = key | ((~act0).astype(jnp.int32) << 25)
+            iota = jnp.arange(B, dtype=jnp.int32)
+            _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
+            _, inv = jax.lax.sort_key_val(order, iota, is_stable=True)
+            packed = jnp.concatenate(
+                [
+                    origin, direction,
+                    t_min[:, None], t_best[:, None],
+                    act0.astype(jnp.float32)[:, None],
+                    jax.lax.bitcast_convert_type(best, jnp.float32)[:, None],
+                ],
+                axis=1,
+            )[order]
+            s_o, s_d = packed[:, 0:3], packed[:, 3:6]
+            s_tmin, s_tbest = packed[:, 6], packed[:, 7]
+            s_act = packed[:, 8] > 0
+            s_best = jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32)
         from .traverse_pallas import _kernel_kind
 
         chunked = bool(ds.meta.t8_chunk_meta) and _kernel_kind() == "bvh8t"
@@ -338,15 +351,18 @@ def intersect_scene(
             s_tbest = jnp.where(ihit, pt, s_tbest)
             s_best = jnp.where(ihit, vtri_base + pbest, s_best)
 
-        back = jnp.concatenate(
-            [
-                s_tbest[:, None],
-                jax.lax.bitcast_convert_type(s_best, jnp.float32)[:, None],
-            ],
-            axis=1,
-        )[inv]
-        t_best = back[:, 0]
-        best = jax.lax.bitcast_convert_type(back[:, 1], jnp.int32)
+        if presorted:
+            t_best, best = s_tbest, s_best
+        else:
+            back = jnp.concatenate(
+                [
+                    s_tbest[:, None],
+                    jax.lax.bitcast_convert_type(s_best, jnp.float32)[:, None],
+                ],
+                axis=1,
+            )[inv]
+            t_best = back[:, 0]
+            best = jax.lax.bitcast_convert_type(back[:, 1], jnp.int32)
         t = jnp.where(best >= 0, t_best, INF)
         return t, best
 
@@ -659,9 +675,11 @@ def intersect_closest(ds: DeviceScene, origin, direction, t_min, t_max) -> Hit:
     return hit_details(ds, origin, direction, t, prim)
 
 
-def occluded(ds: DeviceScene, origin, direction, t_min, t_max, active=None):
+def occluded(ds: DeviceScene, origin, direction, t_min, t_max, active=None,
+             presorted=False):
     """Any-hit query for shadow rays (accel.rs early_exit semantics)."""
     _, prim = intersect_scene(
-        ds, origin, direction, t_min, t_max, early_exit=True, active=active
+        ds, origin, direction, t_min, t_max, early_exit=True, active=active,
+        presorted=presorted,
     )
     return prim >= 0

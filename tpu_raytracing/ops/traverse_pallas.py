@@ -895,17 +895,20 @@ N8T_PER_BLOCK = 16   # nodes per (8, 128) node block (8 lanes each)
 G8T_PER_BLOCK = 12   # tri groups per (8, 128) tri block (10 lanes each)
 
 
-def _ffs8(m):
-    """Bit index of the lowest set bit of an 8-bit scalar mask (m != 0)."""
+def _ffs(m, w: int):
+    """Bit index of the lowest set bit of a w-bit scalar mask (m != 0)."""
     low = m & (-m)
-    return (
-        ((low & 0xAA) != 0).astype(jnp.int32)
-        | (((low & 0xCC) != 0).astype(jnp.int32) << 1)
-        | (((low & 0xF0) != 0).astype(jnp.int32) << 2)
-    ), low
+    slot = (
+        ((low & 0xAAAA) != 0).astype(jnp.int32)
+        | (((low & 0xCCCC) != 0).astype(jnp.int32) << 1)
+        | (((low & 0xF0F0) != 0).astype(jnp.int32) << 2)
+    )
+    if w > 8:
+        slot = slot | (((low & 0xFF00) != 0).astype(jnp.int32) << 3)
+    return slot, low
 
 
-def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
+def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool, W: int):
     """Transposed wide-node walk: children in SUBLANES, rays in LANES.
 
     Round-2 redesign targeting the measured per-visit latency wall (~0.7 us,
@@ -944,18 +947,19 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
     def kernel(nodes_ref, tris_ref, meta_ref,
                ox, oy, oz, dx, dy, dz, tmn, tmx, act,
                t_out, best_out, visits_out, stack_ref):
-        sub_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
-        wt = jnp.left_shift(jnp.int32(1), sub_col)          # (8, 1)
+        w_col = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        wt = jnp.left_shift(jnp.int32(1), w_col)            # (W, 1)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
 
-        def colb(x, k):
+        def colb(x, k, n=SUB):
             return jnp.broadcast_to(
-                jax.lax.slice(x, (0, k), (SUB, k + 1)), (SUB, LANE))
+                jax.lax.slice(x, (0, k), (n, k + 1)), (n, LANE))
 
-        def rowb(x, r):
+        def rowb(x, r, n=SUB):
             return jnp.broadcast_to(
-                jax.lax.slice(x, (r, 0), (r + 1, LANE)), (SUB, LANE))
+                jax.lax.slice(x, (r, 0), (r + 1, LANE)), (n, LANE))
 
         def run_tile(i, _):
             sl = pl.ds(i * R, R)
@@ -967,7 +971,7 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
             t_best0 = tmx[sl, :]
             best0 = jnp.full((R, LANE), -1, jnp.int32)
 
-            stack_ref[0] = jnp.int32(1)   # (base 0)<<8 | mask 1 -> node 0
+            stack_ref[0] = jnp.int32(1)   # (base 0)<<W | mask 1 -> node 0
 
             def cond(c):
                 return c[0] > 0
@@ -976,43 +980,43 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
                 sp, nv, t_best, best = c
                 nv = nv + 1   # low 16 bits: node visits; high: leaf iters
                 e = stack_ref[sp - 1]
-                mask = e & 0xFF
-                base = jax.lax.shift_right_logical(e, 8)
-                slot, low = _ffs8(mask)
+                mask = e & ((1 << W) - 1)
+                base = jax.lax.shift_right_logical(e, W)
+                slot, low = _ffs(mask, W)
                 rem = mask - low
-                stack_ref[sp - 1] = (base << 8) | rem
+                stack_ref[sp - 1] = (base << W) | rem
                 sp = jnp.where(rem == 0, sp - 1, sp)
                 nid = base + slot
 
                 m0 = meta_ref[nid, 0]
                 m1 = meta_ref[nid, 1]
-                cbase = jax.lax.shift_right_logical(m0, 4)
-                ni = m0 & 15
-                lbase = jax.lax.shift_right_logical(m1, 4)
+                cbase = jax.lax.shift_right_logical(m0, 5)
+                ni = m0 & 31
+                lbase = jax.lax.shift_right_logical(m1, 5)
 
-                blk = nodes_ref[pl.ds((nid // N8T_PER_BLOCK) * SUB, SUB), :]
+                blk = nodes_ref[pl.ds((nid // N8T_PER_BLOCK) * W, W), :]
                 blk = roll_lanes(blk, (nid % N8T_PER_BLOCK) * 8)
-                box = [colb(blk, k) for k in range(6)]
+                box = [colb(blk, k, W) for k in range(6)]
 
                 if early_exit:
                     want = live0 * (best == -1).astype(jnp.int32)
                 else:
                     want = live0
 
-                cnt = jnp.zeros((SUB, 1), jnp.int32)
+                cnt = jnp.zeros((W, 1), jnp.int32)
                 hits = []
                 for r in range(R):
-                    t0 = jnp.full((SUB, LANE), -INF)
-                    t1 = jnp.full((SUB, LANE), INF)
+                    t0 = jnp.full((W, LANE), -INF)
+                    t1 = jnp.full((W, LANE), INF)
                     for ax in range(3):
-                        ob = rowb(o[ax], r)
-                        ib = rowb(inv[ax], r)
+                        ob = rowb(o[ax], r, W)
+                        ib = rowb(inv[ax], r, W)
                         a = (box[ax] - ob) * ib
                         b = (box[3 + ax] - ob) * ib
                         t0 = jnp.maximum(t0, jnp.minimum(a, b))
                         t1 = jnp.minimum(t1, jnp.maximum(a, b))
-                    h = ((t0 <= t1) & (t1 >= rowb(t_min, r))
-                         & (t0 <= rowb(t_best, r)) & (rowb(want, r) > 0))
+                    h = ((t0 <= t1) & (t1 >= rowb(t_min, r, W))
+                         & (t0 <= rowb(t_best, r, W)) & (rowb(want, r, W) > 0))
                     hits.append(h)
                     cnt = cnt + jnp.sum(h.astype(jnp.int32), axis=1,
                                         keepdims=True)
@@ -1026,7 +1030,7 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
 
                 @pl.when(imask != 0)
                 def _():
-                    stack_ref[sp] = (cbase << 8) | imask
+                    stack_ref[sp] = (cbase << W) | imask
 
                 sp = jnp.where(imask != 0, sp + 1, sp)
 
@@ -1038,9 +1042,9 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
                 def lbody(lc):
                     lm, nv, t_best, best = lc
                     nv = nv + (1 << 16)
-                    s, llow = _ffs8(lm)
+                    s, llow = _ffs(lm, W)
                     lm = lm - llow
-                    q = lbase + (7 - s)
+                    q = lbase + (W - 1 - s)
                     tb = tris_ref[pl.ds((q // G8T_PER_BLOCK) * SUB, SUB), :]
                     tb = roll_lanes(tb, (q % G8T_PER_BLOCK) * 10)
                     p0 = [colb(tb, k) for k in range(3)]
@@ -1050,7 +1054,7 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
                         jax.lax.bitcast_convert_type(
                             jax.lax.slice(tb, (0, 9), (SUB, 10)), jnp.int32),
                         (SUB, LANE))
-                    sel = sub_iota == s
+                    sel = w_iota == s
                     for r in range(R):
                         hm = jnp.sum((hits[r] & sel).astype(jnp.int32),
                                      axis=0, keepdims=True)      # (1, 128)
@@ -1114,9 +1118,9 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool):
 
 @partial(jax.jit, static_argnums=(0, 4))
 def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
-    interpret, R = shape_key
+    interpret, R, W = shape_key
     g = cols[0].shape[0] // R
-    kernel = _t8_kernel(early_exit, g, R, interpret)
+    kernel = _t8_kernel(early_exit, g, R, interpret, W)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -1268,8 +1272,8 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
                 f"bvh8t stack bound {av.t8_stack} exceeds {STACK_CAP}"
             )
         t, best, visits = _t8_tiles(
-            (interpret, tsub), av.t8_nodes, av.t8_tris, av.t8_meta,
-            early_exit, cols,
+            (interpret, tsub, int(ds.meta.t8_width)),
+            av.t8_nodes, av.t8_tris, av.t8_meta, early_exit, cols,
         )
     elif kind in ("quad", "quadrow"):
         if av.bvh4_stack > STACK_CAP:
