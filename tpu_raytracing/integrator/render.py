@@ -52,7 +52,13 @@ log = logging.getLogger("tpu_raytracing")
 
 def _default_chunk() -> int:
     """Pixels per device dispatch: large batches feed the TPU; the CPU
-    backend degrades badly on very wide dispatches, so keep them modest."""
+    backend degrades badly on very wide dispatches, so keep them modest.
+    TPU_RT_CHUNK overrides (perf tuning)."""
+    import os as _os
+
+    env = _os.environ.get("TPU_RT_CHUNK")
+    if env:
+        return int(env)
     try:
         platform = jax.default_backend()
     except Exception:
