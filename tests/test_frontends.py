@@ -57,3 +57,32 @@ def test_tui_cycle_logic():
     assert _cycle_list(["a", "b", "c"], "a", 1) == "b"
     assert _cycle_list(["a", "b", "c"], "a", -1) == "c"
     assert _cycle_list(["a", "b"], "zz", 1) == "a"
+
+
+def test_tui_form_state_roundtrip():
+    """build_form_state/apply_form_state map CLI args <-> form fields."""
+    import argparse
+
+    from tpu_raytracing.tui import (
+        _toggle_aov, apply_form_state, build_form_state,
+    )
+
+    args = argparse.Namespace(
+        command="full", scene_name=None, scene_path=None, backend="jax",
+        sampler=None, spp=None, ray_depth=None, light_samples=None,
+        output=None, output_format=None, aov=["n,u"], no_beauty=False,
+        interactive=True,
+    )
+    st = build_form_state(args, ["sphere", "cube"])
+    assert st["scene"] == "sphere" and st["aov"] == ["n", "u"]
+    _toggle_aov(st, "a")
+    _toggle_aov(st, "n")
+    st["spp"] = "16"
+    st["command"] = "pixel"
+    st["px"], st["py"], st["count"] = "3", "7", "2"
+    out = apply_form_state(args, st)
+    assert out.command == "pixel" and out.spp == 16
+    assert (out.x, out.y, out.sample_count) == (3, 7, 2)
+    st["command"] = "full"
+    out = apply_form_state(args, st)
+    assert out.aov == ["u,a"] and out.no_beauty is False
