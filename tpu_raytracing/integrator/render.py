@@ -268,31 +268,34 @@ def trace_radiance(
             key = key | ((~alive).astype(jnp.int32) << 25)
             iota = jnp.arange(B_, dtype=jnp.int32)
             _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
-            bits = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
-                a, jnp.float32)[:, None]
             pk = jnp.concatenate(
                 [
                     ray_o, ray_d, radiance, pw,
                     alive.astype(f32)[:, None],
                     specular.astype(f32)[:, None],
-                    bits(stream.px), bits(stream.py),
-                    bits(stream.sample), bits(stream.dim),
-                    bits(src),
                 ],
                 axis=1,
             )[order]
+            # int lanes stay in the INTEGER domain across the permutation
+            # (the TPU canonicalizes NaN/denormal f32 bit patterns)
             u32 = jnp.uint32
-            rebit = lambda c, dt: jax.lax.bitcast_convert_type(  # noqa: E731
-                pk[:, c], dt)
+            ib = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+                a, jnp.int32)[:, None]
+            pk_i = jnp.concatenate(
+                [ib(stream.px), ib(stream.py), ib(stream.sample),
+                 ib(stream.dim), src[:, None]],
+                axis=1,
+            )[order]
             ray_o, ray_d = pk[:, 0:3], pk[:, 3:6]
             radiance, pw = pk[:, 6:9], pk[:, 9:12]
             alive = pk[:, 12] > 0
             specular = pk[:, 13] > 0
+            reu = lambda c: jax.lax.bitcast_convert_type(  # noqa: E731
+                pk_i[:, c], u32)
             stream = stream._replace(
-                px=rebit(14, u32), py=rebit(15, u32),
-                sample=rebit(16, u32), dim=rebit(17, u32),
+                px=reu(0), py=reu(1), sample=reu(2), dim=reu(3),
             )
-            src = rebit(18, jnp.int32)
+            src = pk_i[:, 4]
 
         return dict(
             depth=depth,

@@ -277,19 +277,22 @@ def intersect_scene(
             iota = jnp.arange(B, dtype=jnp.int32)
             _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
             _, inv = jax.lax.sort_key_val(order, iota, is_stable=True)
+            # int lanes cross the permutation in the INTEGER domain: the
+            # TPU canonicalizes NaN payloads somewhere in the f32 path, so
+            # bitcasting best (-1 = 0xFFFFFFFF, a NaN pattern) through f32
+            # silently corrupts it into a positive int (fabricated hits)
             packed = jnp.concatenate(
                 [
                     origin, direction,
                     t_min[:, None], t_best[:, None],
                     act0.astype(jnp.float32)[:, None],
-                    jax.lax.bitcast_convert_type(best, jnp.float32)[:, None],
                 ],
                 axis=1,
             )[order]
             s_o, s_d = packed[:, 0:3], packed[:, 3:6]
             s_tmin, s_tbest = packed[:, 6], packed[:, 7]
             s_act = packed[:, 8] > 0
-            s_best = jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32)
+            s_best = best[order]
         from .traverse_pallas import _kernel_kind
 
         chunked = bool(ds.meta.t8_chunk_meta) and _kernel_kind() == "bvh8t"
@@ -354,15 +357,8 @@ def intersect_scene(
         if presorted:
             t_best, best = s_tbest, s_best
         else:
-            back = jnp.concatenate(
-                [
-                    s_tbest[:, None],
-                    jax.lax.bitcast_convert_type(s_best, jnp.float32)[:, None],
-                ],
-                axis=1,
-            )[inv]
-            t_best = back[:, 0]
-            best = jax.lax.bitcast_convert_type(back[:, 1], jnp.int32)
+            t_best = s_tbest[inv]
+            best = s_best[inv]
         t = jnp.where(best >= 0, t_best, INF)
         return t, best
 
