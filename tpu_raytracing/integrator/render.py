@@ -319,19 +319,216 @@ def trace_radiance(
     return radiance, out["rays"]
 
 
+def trace_radiance_spp(
+    ds: DeviceScene,
+    cfg: SamplerConfig,
+    st: StaticSettings,
+    px, py,            # (B,) pixel coords
+    spp_base: int,
+    n_spp: int,
+    active=None,
+):
+    """Sum of n_spp radiance samples per pixel via PATH REGENERATION.
+
+    The sequential spp loop wastes the batch: the alive fraction decays
+    per bounce, but every fixed-shape bounce processes all B lanes. Here
+    a lane whose path terminates immediately starts its pixel's NEXT
+    sample (per-lane depth + sample counters), so lanes stay ~fully
+    utilized until the whole sample budget drains — the SPMD rendering of
+    the reference megakernel's per-thread spp loop
+    (kernels/pathtracer.cu:103-134).
+
+    Bit-exact with the sequential loop: the per-(pixel, sample, dim) RNG
+    makes each sample's estimate independent of scheduling, and per pixel
+    the accumulation stays in ascending-sample order.
+    """
+    B_ = px.shape[0]
+    stream = make_stream(px, py, jnp.uint32(spp_base))
+    ray_o, ray_d, diff, stream = generate_rays(
+        ds, px, py, cfg, stream, st.samples_per_pixel, jitter=True
+    )
+    f32 = ray_o.dtype
+    kinds = ds.meta.mat_kinds_present
+    act0 = jnp.ones(B_, bool) if active is None else active
+
+    state = dict(
+        sample_i=jnp.full(B_, spp_base, jnp.uint32),
+        depth=jnp.zeros(B_, jnp.int32),
+        ray_o=ray_o,
+        ray_d=ray_d,
+        diff=diff,
+        alive=act0 & (n_spp > 0),
+        specular=jnp.ones(B_, bool),
+        path_rad=jnp.zeros((B_, 3), f32),
+        acc=jnp.zeros((B_, 3), f32),
+        path_weight=jnp.ones((B_, 3), f32),
+        stream=stream,
+        rays=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["alive"])
+
+    def body(s):
+        depth = s["depth"]
+        alive = s["alive"]
+        ray_o, ray_d, diff = s["ray_o"], s["ray_d"], s["diff"]
+        path_rad, pw = s["path_rad"], s["path_weight"]
+        specular = s["specular"]
+        stream = s["stream"]
+        sample_i = s["sample_i"]
+        acc = s["acc"]
+
+        rays = s["rays"] + jnp.sum(alive.astype(jnp.int32))
+
+        primary = depth == 0
+        t_min = jnp.where(primary, ds.meta.near_clip, 1.0e-4)
+        t_max = jnp.where(primary, ds.meta.far_clip, jnp.inf)
+        t, prim = intersect_scene(
+            ds, ray_o, ray_d, t_min, t_max, active=alive,
+        )
+        hit_mask = prim >= 0
+        miss = alive & ~hit_mask
+        if ds.meta.has_env:
+            path_rad = path_rad + jnp.where(
+                miss[:, None], pw * environment_radiance(ds, ray_d), 0.0
+            )
+        alive = alive & hit_mask
+
+        hit = hit_details(ds, ray_o, ray_d, t, prim)
+
+        add_zero_bounce = st.accumulate_bounces | (st.max_ray_depth == depth)
+        emit_mask = alive & specular & add_zero_bounce & (hit.light >= 0)
+        path_rad = path_rad + jnp.where(
+            emit_mask[:, None], pw * light_emitted_radiance(ds, hit.light), 0.0
+        )
+
+        plain_ctx = EvalCtx.without_antialiasing(hit.uv)
+        if st.antialias_primary_rays:
+            aa_ctx = eval_ctx_from_differentials(hit, ray_o, ray_d, diff)
+            use_aa = primary & alive
+
+            def sel(a, b):
+                return jnp.where(use_aa, a, b)
+
+            ctx = EvalCtx(
+                uv=hit.uv,
+                dudx=sel(aa_ctx.dudx, plain_ctx.dudx),
+                dudy=sel(aa_ctx.dudy, plain_ctx.dudy),
+                dvdx=sel(aa_ctx.dvdx, plain_ctx.dvdx),
+                dvdy=sel(aa_ctx.dvdy, plain_ctx.dvdy),
+            )
+        else:
+            ctx = plain_ctx
+
+        from ..ops.bsdf import get_bsdf_params, is_delta_bsdf
+
+        params = get_bsdf_params(ds, hit.material, ctx)
+        bx, by = make_orthonormal_basis(hit.normal)
+        wo = _to_local(bx, by, hit.normal, -ray_d)
+
+        depth = depth + 1
+        alive = alive & (depth <= st.max_ray_depth)
+
+        delta = is_delta_bsdf(params)
+        add_direct = st.accumulate_bounces | (depth == st.max_ray_depth)
+        nee_mask = alive & ~delta & add_direct
+
+        direct = jnp.zeros((B_, 3), f32)
+        for li, lk in enumerate(ds.meta.light_kinds):
+            n_s = 1 if lk in (LIGHT_POINT, LIGHT_DIRECTION) else st.light_sample_count
+            contrib = jnp.zeros((B_, 3), f32)
+            rays = rays + n_s * jnp.sum(nee_mask.astype(jnp.int32))
+            for _ in range(n_s):
+                ls, stream = sample_light(ds, li, hit.point, cfg, stream)
+                occ = occluded(
+                    ds, ls.origin, ls.direction,
+                    jnp.full(B_, 1.0e-3, f32),
+                    ls.distance - 1.0e-3,
+                    active=nee_mask,
+                )
+                wi = _to_local(bx, by, hit.normal, -ls.direction)
+                f = bsdf_eval(params, wo, wi, kinds)
+                cos_theta = jnp.maximum(wi[..., 2], 0.0)
+                safe_pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
+                c = f * ls.radiance * (cos_theta / safe_pdf)[:, None]
+                good = nee_mask & ~occ & (ls.pdf > 0.0)
+                contrib = contrib + jnp.where(good[:, None], c, 0.0)
+            direct = direct + contrib / n_s
+        path_rad = path_rad + pw * direct
+
+        samp, stream = bsdf_sample(
+            params, wo, jnp.full(B_, B.ALL_COMPONENTS, jnp.int32),
+            cfg, stream, kinds,
+        )
+        ok = (
+            samp.valid
+            & (samp.pdf > 0.0)
+            & jnp.any(samp.f != 0.0, axis=-1)
+        )
+        alive = alive & ok
+        cos_theta = jnp.abs(samp.wi[..., 2])
+        safe_pdf = jnp.where(samp.pdf == 0.0, 1.0, samp.pdf)
+        pw = jnp.where(
+            alive[:, None], pw * samp.f * (cos_theta / safe_pdf)[:, None], pw
+        )
+        specular = jnp.where(alive, (samp.component & B.SPECULAR) != 0, specular)
+        new_d = _to_world(bx, by, hit.normal, samp.wi)
+        ray_o = jnp.where(alive[:, None], hit.point, ray_o)
+        ray_d = jnp.where(alive[:, None], new_d, ray_d)
+
+        # ---- path regeneration: finished lanes bank their estimate and
+        # start the pixel's next sample in place
+        was = s["alive"]
+        done = was & ~alive
+        acc = acc + jnp.where(done[:, None], path_rad, 0.0)
+        next_i = sample_i + 1
+        has_more = next_i < jnp.uint32(spp_base + n_spp)
+        regen = done & has_more & act0
+
+        stream_new = make_stream(px, py, next_i)
+        n_o, n_d, n_diff, stream_new = generate_rays(
+            ds, px, py, cfg, stream_new, st.samples_per_pixel, jitter=True
+        )
+        sample_i = jnp.where(done, next_i, sample_i)
+        sel_l = regen[:, None]
+        ray_o = jnp.where(sel_l, n_o, ray_o)
+        ray_d = jnp.where(sel_l, n_d, ray_d)
+        diff = jnp.where(regen[:, None, None], n_diff, diff)
+        path_rad = jnp.where(sel_l, 0.0, path_rad)
+        pw = jnp.where(sel_l, 1.0, pw)
+        specular = jnp.where(regen, True, specular)
+        depth = jnp.where(regen, 0, depth)
+        alive = alive | regen
+        stream = jax.tree.map(
+            lambda n, o: jnp.where(regen, n, o), stream_new, stream
+        )
+
+        return dict(
+            sample_i=sample_i,
+            depth=depth,
+            ray_o=ray_o,
+            ray_d=ray_d,
+            diff=diff,
+            alive=alive,
+            specular=specular,
+            path_rad=path_rad,
+            acc=acc,
+            path_weight=pw,
+            stream=stream,
+            rays=rays,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["acc"], out["rays"]
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def render_beauty_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
                         active=None):
-    """Average trace_radiance over spp for one pixel chunk."""
-
-    def body(s, carry):
-        acc, rays = carry
-        r, n = trace_radiance(ds, cfg, st, px, py, s, active=active)
-        return acc + r, rays + n
-
-    total, rays = jax.lax.fori_loop(
-        0, st.samples_per_pixel, body,
-        (jnp.zeros((px.shape[0], 3), jnp.float32), jnp.zeros((), jnp.int32)),
+    """Average radiance over spp for one pixel chunk (path regeneration)."""
+    total, rays = trace_radiance_spp(
+        ds, cfg, st, px, py, 0, st.samples_per_pixel, active=active
     )
     return total / st.samples_per_pixel, rays
 

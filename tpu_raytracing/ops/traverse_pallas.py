@@ -999,6 +999,7 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                 cbase = jax.lax.shift_right_logical(m0, 5)
                 ni = m0 & 31
                 lbase = jax.lax.shift_right_logical(m1, 5)
+                nl = m1 & 31
 
                 blk = nodes_ref[pl.ds((nid // N8T_PER_BLOCK) * W, W), :]
                 blk = roll_lanes(blk, (nid % N8T_PER_BLOCK) * 8)
@@ -1027,7 +1028,13 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                     cnt = cnt + jnp.sum(h.astype(jnp.int32), axis=1,
                                         keepdims=True)
 
-                bits = jnp.where(cnt > 0, wt, 0)
+                # empty child slots must not vote: their NaN boxes rely
+                # on NaN-propagating min/max, but the real TPU VPU drops
+                # NaNs (minNum/maxNum semantics), making empty slots hit
+                # everything — mask by slot validity instead (scalar ni/nl
+                # broadcasts; interpret mode is unaffected either way)
+                valid = (w_col < ni) | (w_col >= W - nl)
+                bits = jnp.where((cnt > 0) & valid, wt, 0)
                 mask_s = jnp.sum(bits)       # the ONE vector->scalar drain
                 if early_exit:
                     aw = jnp.sum(want)
@@ -1139,233 +1146,6 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
     return kernel
 
 
-# ---------------------------------------------------------------------------
-# bvh8t: transposed wide-node walk (round-2 kernel)
-
-N8T_PER_BLOCK = 16   # nodes per (8, 128) node block (8 lanes each)
-G8T_PER_BLOCK = 12   # tri groups per (8, 128) tri block (10 lanes each)
-
-
-def _ffs(m, w: int):
-    """Bit index of the lowest set bit of a w-bit scalar mask (m != 0)."""
-    low = m & (-m)
-    slot = (
-        ((low & 0xAAAA) != 0).astype(jnp.int32)
-        | (((low & 0xCCCC) != 0).astype(jnp.int32) << 1)
-        | (((low & 0xF0F0) != 0).astype(jnp.int32) << 2)
-    )
-    if w > 8:
-        slot = slot | (((low & 0xFF00) != 0).astype(jnp.int32) << 3)
-    return slot, low
-
-
-def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
-               W: int, NW: int):
-    """Transposed wide-node walk: children in SUBLANES, rays in LANES.
-
-    Round-2 redesign targeting the measured per-visit latency wall (~0.7 us,
-    docs/PERF_LOG.md): each visit of the previous kernels made ~7 serial
-    vector->scalar round trips (meta/axis extracts + vote reductions), and
-    the TPU's single in-order scalar core turns every one into a VPU sync.
-    This kernel makes exactly ONE vector->scalar crossing per node visit:
-
-    - the node's 8 child boxes are tested as pure (8, 128) vector ops
-      (children in sublanes, rays in lanes; box coords are lane-column
-      broadcasts of the rolled node block, ray data are sublane-row
-      broadcasts) — zero scalar extracts for geometry;
-    - the per-child hit votes collapse into one packed bitmask via a
-      lanes-axis reduce + weighted sublane sum -> single scalar read;
-    - per-node scalars come from an SMEM int32 table (scalar memory, no
-      VPU sync) and the shared stack holds (child_base<<8 | bitmask)
-      entries — a pop is ffs + clear, no per-slot select chains;
-    - leaf children (contiguous transposed tri groups, slots 7-j) are
-      intersected in an inner mask loop whose Moller-Trumbore runs fully
-      in the vector domain (8 tris x 128 rays per op, argmin winners via
-      sublane reductions) — zero additional scalar crossings.
-
-    Winner parity vs ops/traverse.py holds by AABB containment (see module
-    docstring); cross-leaf equal-t ties may resolve differently (visit
-    order + merged-group argmin), the documented measure-zero caveat.
-
-    Role replaced: OptiX hardware traversal (reference
-    csrc/host/scene.cu:89-160, kernels/pathtracer.cu:34-99).
-    """
-
-    def roll_lanes(x, sh):
-        if interpret:
-            return jnp.roll(x, -sh, axis=1)
-        return pltpu.roll(x, (LANE - sh) % LANE, axis=1)
-
-    def kernel(nodes_ref, tris_ref, meta_ref,
-               ox, oy, oz, dx, dy, dz, tmn, tmx, act,
-               t_out, best_out, visits_out, stack_ref):
-        w_col = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-        wt = jnp.left_shift(jnp.int32(1), w_col)            # (W, 1)
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
-
-        def colb(x, k, n=SUB):
-            return jnp.broadcast_to(
-                jax.lax.slice(x, (0, k), (n, k + 1)), (n, LANE))
-
-        def rowb(x, r, n=SUB):
-            return jnp.broadcast_to(
-                jax.lax.slice(x, (r, 0), (r + 1, LANE)), (n, LANE))
-
-        def run_tile(i, _):
-            sl = pl.ds(i * R, R)
-            o = (ox[sl, :], oy[sl, :], oz[sl, :])
-            d = (dx[sl, :], dy[sl, :], dz[sl, :])
-            inv = tuple(1.0 / c for c in d)
-            t_min = tmn[sl, :]
-            live0 = (act[sl, :] > 0).astype(jnp.int32)
-            t_best0 = tmx[sl, :]
-            best0 = jnp.full((R, LANE), -1, jnp.int32)
-
-            stack_ref[0] = jnp.int32(1)   # (base 0)<<W | mask 1 -> node 0
-
-            def cond(c):
-                return c[0] > 0
-
-            def body(c):
-                sp, nv, t_best, best = c
-                nv = nv + 1   # low 16 bits: node visits; high: leaf iters
-                e = stack_ref[sp - 1]
-                mask = e & ((1 << W) - 1)
-                base = jax.lax.shift_right_logical(e, W)
-                slot, low = _ffs(mask, W)
-                rem = mask - low
-                stack_ref[sp - 1] = (base << W) | rem
-                sp = jnp.where(rem == 0, sp - 1, sp)
-                nid = base + slot
-
-                m0 = meta_ref[nid, 0]
-                m1 = meta_ref[nid, 1]
-                cbase = jax.lax.shift_right_logical(m0, 5)
-                ni = m0 & 31
-                lbase = jax.lax.shift_right_logical(m1, 5)
-
-                blk = nodes_ref[pl.ds((nid // N8T_PER_BLOCK) * W, W), :]
-                blk = roll_lanes(blk, (nid % N8T_PER_BLOCK) * 8)
-                box = [colb(blk, k, W) for k in range(6)]
-
-                if early_exit:
-                    want = live0 * (best == -1).astype(jnp.int32)
-                else:
-                    want = live0
-
-                cnt = jnp.zeros((W, 1), jnp.int32)
-                hits = []
-                for r in range(R):
-                    t0 = jnp.full((W, LANE), -INF)
-                    t1 = jnp.full((W, LANE), INF)
-                    for ax in range(3):
-                        ob = rowb(o[ax], r, W)
-                        ib = rowb(inv[ax], r, W)
-                        a = (box[ax] - ob) * ib
-                        b = (box[3 + ax] - ob) * ib
-                        t0 = jnp.maximum(t0, jnp.minimum(a, b))
-                        t1 = jnp.minimum(t1, jnp.maximum(a, b))
-                    h = ((t0 <= t1) & (t1 >= rowb(t_min, r, W))
-                         & (t0 <= rowb(t_best, r, W)) & (rowb(want, r, W) > 0))
-                    hits.append(h)
-                    cnt = cnt + jnp.sum(h.astype(jnp.int32), axis=1,
-                                        keepdims=True)
-
-                bits = jnp.where(cnt > 0, wt, 0)
-                mask_s = jnp.sum(bits)       # the ONE vector->scalar drain
-                if early_exit:
-                    aw = jnp.sum(want)
-
-                imask = mask_s & ((jnp.int32(1) << ni) - 1)
-
-                @pl.when(imask != 0)
-                def _():
-                    stack_ref[sp] = (cbase << W) | imask
-
-                sp = jnp.where(imask != 0, sp + 1, sp)
-
-                # remaining hit bits sit in leaf child slots s = 7-j
-                # (empty slots have NaN boxes and can never vote)
-                def lcond(lc):
-                    return lc[0] != 0
-
-                def lbody(lc):
-                    lm, nv, t_best, best = lc
-                    nv = nv + (1 << 16)
-                    s, llow = _ffs(lm, W)
-                    lm = lm - llow
-                    q = lbase + (W - 1 - s)
-                    tb = tris_ref[pl.ds((q // G8T_PER_BLOCK) * SUB, SUB), :]
-                    tb = roll_lanes(tb, (q % G8T_PER_BLOCK) * 10)
-                    p0 = [colb(tb, k) for k in range(3)]
-                    e1 = [colb(tb, 3 + k) for k in range(3)]
-                    e2 = [colb(tb, 6 + k) for k in range(3)]
-                    idb = jnp.broadcast_to(
-                        jax.lax.bitcast_convert_type(
-                            jax.lax.slice(tb, (0, 9), (SUB, 10)), jnp.int32),
-                        (SUB, LANE))
-                    sel = w_iota == s
-                    for r in range(R):
-                        hm = jnp.sum((hits[r] & sel).astype(jnp.int32),
-                                     axis=0, keepdims=True)      # (1, 128)
-                        hm8 = jnp.broadcast_to(hm, (SUB, LANE)) > 0
-                        dr = [rowb(d[ax], r) for ax in range(3)]
-                        orr = [rowb(o[ax], r) for ax in range(3)]
-                        pv0 = dr[1] * e2[2] - dr[2] * e2[1]
-                        pv1 = dr[2] * e2[0] - dr[0] * e2[2]
-                        pv2 = dr[0] * e2[1] - dr[1] * e2[0]
-                        den = pv0 * e1[0] + pv1 * e1[1] + pv2 * e1[2]
-                        sden = jnp.where(den == 0.0, 1.0, den)
-                        tv = [orr[k] - p0[k] for k in range(3)]
-                        u = (pv0 * tv[0] + pv1 * tv[1] + pv2 * tv[2]) / sden
-                        qv0 = tv[1] * e1[2] - tv[2] * e1[1]
-                        qv1 = tv[2] * e1[0] - tv[0] * e1[2]
-                        qv2 = tv[0] * e1[1] - tv[1] * e1[0]
-                        v = (qv0 * dr[0] + qv1 * dr[1] + qv2 * dr[2]) / sden
-                        t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
-                        tb_row = jax.lax.slice(t_best, (r, 0), (r + 1, LANE))
-                        ok = ((den != 0.0)
-                              & (u >= 0.0) & (u <= 1.0)
-                              & (v >= 0.0) & (u + v <= 1.0)
-                              & (t >= rowb(t_min, r))
-                              & (t <= jnp.broadcast_to(tb_row, (SUB, LANE)))
-                              & hm8)
-                        t_sl = jnp.where(ok, t, INF)
-                        tg = jnp.min(t_sl, axis=0, keepdims=True)  # (1, 128)
-                        tg8 = jnp.broadcast_to(tg, (SUB, LANE))
-                        idw = jnp.min(
-                            jnp.where(t_sl == tg8, idb, jnp.int32(1 << 30)),
-                            axis=0, keepdims=True)
-                        # row-r writeback: static sublane mask select
-                        # (Mosaic has no dynamic_update_slice)
-                        sel_r = row_iota == r
-                        updR = jnp.broadcast_to(tg, (R, LANE)) < INF
-                        take = sel_r & updR
-                        t_best = jnp.where(
-                            take, jnp.broadcast_to(tg, (R, LANE)), t_best)
-                        best = jnp.where(
-                            take, jnp.broadcast_to(idw, (R, LANE)), best)
-                    return lm, nv, t_best, best
-
-                _, nv, t_best, best = jax.lax.while_loop(
-                    lcond, lbody, (mask_s - imask, nv, t_best, best))
-
-                if early_exit:
-                    sp = jnp.where(aw == 0, 0, sp)
-                return sp, nv, t_best, best
-
-            _, nv, t_best, best = jax.lax.while_loop(
-                cond, body, (jnp.int32(1), jnp.int32(0), t_best0, best0))
-            t_out[sl, :] = t_best
-            best_out[sl, :] = best
-            visits_out[i, 0] = nv
-            return 0
-
-        jax.lax.fori_loop(0, g, run_tile, 0)
-
-    return kernel
 
 
 @partial(jax.jit, static_argnums=(0, 4))
