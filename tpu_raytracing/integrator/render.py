@@ -526,9 +526,26 @@ def trace_radiance_spp(
 @partial(jax.jit, static_argnums=(1, 2))
 def render_beauty_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
                         active=None):
-    """Average radiance over spp for one pixel chunk (path regeneration)."""
-    total, rays = trace_radiance_spp(
-        ds, cfg, st, px, py, 0, st.samples_per_pixel, active=active
+    """Average radiance over spp for one pixel chunk.
+
+    Path regeneration by default; TPU_RT_REGEN=0 falls back to the
+    sequential per-sample loop (A/B knob; outputs are bit-identical)."""
+    import os as _os
+
+    if _os.environ.get("TPU_RT_REGEN", "1") == "1":
+        total, rays = trace_radiance_spp(
+            ds, cfg, st, px, py, 0, st.samples_per_pixel, active=active
+        )
+        return total / st.samples_per_pixel, rays
+
+    def body(s, carry):
+        acc, rays = carry
+        r, n = trace_radiance(ds, cfg, st, px, py, s, active=active)
+        return acc + r, rays + n
+
+    total, rays = jax.lax.fori_loop(
+        0, st.samples_per_pixel, body,
+        (jnp.zeros((px.shape[0], 3), jnp.float32), jnp.zeros((), jnp.int32)),
     )
     return total / st.samples_per_pixel, rays
 

@@ -351,10 +351,16 @@ def smooth_conductor_sample(eta3, kappa3, wo) -> BsdfSample:
     safe_cos = jnp.where(cos == 0.0, 1.0, cos)
     f = fresnel_complex_rgb(cos, eta3, kappa3) / safe_cos[..., None]
     pdf = jnp.ones_like(cos)
+    # cos <= 0 means the lane hit the conductor from INSIDE (a grazing
+    # self-reintersection artifact on spheres); the reference's F/wo.z
+    # would emit a huge NEGATIVE weight there (materials.rs:486-489 has
+    # no sign guard), which explodes on the TPU backend where ULP-level
+    # geometry flips whole grazing bands. Killing the path is the
+    # physical behavior; divergence recorded in PARITY.md.
     return BsdfSample(
         wi=wi, f=f, pdf=pdf,
         component=jnp.full(cos.shape, SPECULAR_REFLECTION, jnp.int32),
-        valid=cos != 0.0,
+        valid=cos > 0.0,
     )
 
 
@@ -382,7 +388,11 @@ def ts_refl_eval(wo, wi, eta3, kappa3, ax, ay):
         (tr_distribution(wm, ax, ay) * tr_g(wo, wi, ax, ay) / safe_denom)[..., None]
         * fres
     )
-    bad = degenerate | (denom == 0.0)
+    # opposite-hemisphere pairs (inside-hits) would yield a negative
+    # denominator and negative reflectance — physically zero for a
+    # reflection-only conductor (guard absent in materials.rs:1210-1213;
+    # divergence recorded in PARITY.md)
+    bad = degenerate | (denom <= 0.0)
     return jnp.where(bad[..., None], 0.0, f)
 
 
