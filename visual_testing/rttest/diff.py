@@ -40,7 +40,8 @@ class DiffResult:
     mse: float
     max_diff: float
     channel_group: str
-    rel_mean: float = 0.0  # |mean(out) - mean(ref)| / max(mean(ref), eps)
+    rel_mean: float = 0.0  # |mean(t(out)) - mean(t(ref))| / mean(t(ref)),
+    # t = Reinhard x/(1+x) on clamped-nonnegative values (bounded stat)
 
     def passes(self, tolerance: float) -> bool:
         return self.mse <= tolerance
@@ -71,10 +72,20 @@ def compare_images(output_path: Path, reference_path: Path) -> DiffResult:
     if out.shape != ref.shape:
         raise ValueError(f"shape mismatch: {out.shape} vs {ref.shape}")
     d = out.astype(np.float64) - ref.astype(np.float64)
-    ref_mean = float(np.mean(np.abs(ref.astype(np.float64))))
+    # cross-backend HDR means are dominated by rare near-singular paths
+    # (1/d^2 light spikes, F/cos grazing reflections) whose backend
+    # assignment is ULP-chaotic; compare means through a bounded Reinhard
+    # tonemap t(x) = x/(1+x) on non-negative values so the statistic has
+    # finite variance and converges at test spp
+    a = np.maximum(out.astype(np.float64), 0.0)
+    b = np.maximum(ref.astype(np.float64), 0.0)
+    ta, tb = a / (1.0 + a), b / (1.0 + b)
+    tb_mean = float(np.mean(tb))
     return DiffResult(
         mse=float(np.mean(d * d)),
         max_diff=float(np.max(np.abs(d))) if d.size else 0.0,
         channel_group=out_group,
-        rel_mean=float(abs(np.mean(d)) / max(ref_mean, 1e-9)),
+        rel_mean=float(
+            abs(np.mean(ta) - tb_mean) / max(tb_mean, 1e-9)
+        ),
     )
