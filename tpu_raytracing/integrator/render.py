@@ -550,9 +550,17 @@ def render_beauty_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
     return total / st.samples_per_pixel, rays
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def render_aov_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py):
-    """First-hit AOVs: normals, albedo, uv, mip level (lib.rs:403-444)."""
+@partial(jax.jit, static_argnums=(1, 2, 5))
+def render_aov_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
+                     aovs: tuple = ("n", "a", "u", "m")):
+    """First-hit AOVs: normals, albedo, uv, mip level (lib.rs:403-444).
+
+    `aovs` (static) selects which outputs are actually computed; unneeded
+    texture/mip subgraphs are dropped from the executable. (Besides the
+    obvious saving, the TPU compiler crashes — SIGILL in its fusion cost
+    model — on the mip/texture subgraph under an orthographic camera's
+    all-zero direction differentials; a normals-only request no longer
+    traces that path.)"""
     stream = make_stream(px, py, 0)
     ray_o, ray_d, diff, stream = generate_rays(
         ds, px, py, cfg, stream, st.samples_per_pixel, jitter=False
@@ -573,21 +581,29 @@ def render_aov_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py):
         dvdy=jnp.where(hit.hit, ctx.dvdy, 0.0),
     )
 
-    # albedo: diffuse/coated sample their albedo texture, others are white
-    # (materials.rs get_albedo)
     mat = jnp.maximum(hit.material, 0)
     kind = ds.mat_kind[mat]
     albedo_tex = ds.mat_tex[mat, 0]
-    sampled = eval_texture(ds, albedo_tex, ctx)[:, :3]
-    has_albedo = (kind == MAT_DIFFUSE) | (kind == MAT_COATED_DIFFUSE)
-    albedo = jnp.where(has_albedo[:, None], sampled, 1.0)
-    albedo = jnp.where(hit.hit[:, None], albedo, 0.0)
+    zero3 = jnp.zeros((B_, 3), jnp.float32)
 
-    # mip level: the material's primary texture when it is a trilinear image
-    # (materials.rs get_mip_level: only Diffuse has a primary texture)
-    mip_tid = jnp.where(kind == MAT_DIFFUSE, albedo_tex, -1)
-    mip, mip_valid = texture_mip_level(ds, mip_tid, ctx)
-    mip = jnp.where(hit.hit & mip_valid & (kind == MAT_DIFFUSE), mip, 0.0)
+    if "a" in aovs:
+        # albedo: diffuse/coated sample their albedo texture, others are
+        # white (materials.rs get_albedo)
+        sampled = eval_texture(ds, albedo_tex, ctx)[:, :3]
+        has_albedo = (kind == MAT_DIFFUSE) | (kind == MAT_COATED_DIFFUSE)
+        albedo = jnp.where(has_albedo[:, None], sampled, 1.0)
+        albedo = jnp.where(hit.hit[:, None], albedo, 0.0)
+    else:
+        albedo = zero3
+
+    if "m" in aovs:
+        # mip level: the material's primary texture when it is a trilinear
+        # image (materials.rs get_mip_level: only Diffuse has one)
+        mip_tid = jnp.where(kind == MAT_DIFFUSE, albedo_tex, -1)
+        mip, mip_valid = texture_mip_level(ds, mip_tid, ctx)
+        mip = jnp.where(hit.hit & mip_valid & (kind == MAT_DIFFUSE), mip, 0.0)
+    else:
+        mip = jnp.zeros((B_,), jnp.float32)
 
     normals = jnp.where(hit.hit[:, None], hit.normal, 0.0)
     uv = jnp.where(hit.hit[:, None], hit.uv, 0.0)
@@ -687,8 +703,14 @@ def render(
 
     if settings.outputs & AovFlags.FIRST_HIT_AOVS:
         t0 = time.perf_counter()
+        aovs = tuple(
+            k for k, fl in (
+                ("n", AovFlags.NORMALS), ("a", AovFlags.ALBEDO),
+                ("u", AovFlags.UV_COORDS), ("m", AovFlags.MIP_LEVEL),
+            ) if settings.outputs & fl
+        )
         normals, albedo, uv, mip = _run_chunked(
-            lambda a, b, _act: render_aov_chunk(ds, cfg, st, a, b),
+            lambda a, b, _act: render_aov_chunk(ds, cfg, st, a, b, aovs),
             px, py, 4, chunk_pixels,
         )
         log.info("aov pass took %.3fs", time.perf_counter() - t0)

@@ -629,8 +629,24 @@ def hit_details(
         o_o = apply_point(w2o, origin)
         d_o = apply_vector(w2o, direction)
         p_o = o_o + t[:, None] * d_o
+        # robust sphere hit point: reproject onto the surface and inflate
+        # a few ULPs outward. o + t*d rounding can land the point INSIDE
+        # the sphere; a grazing reflection from an inside point re-enters
+        # on a real chord (t >> t_min), which self-shadows the whole
+        # silhouette band — backend-dependent (TPU FMA contraction lands
+        # inside far more often than CPU; metal scene lost 19% of its
+        # energy there). An outside point on a convex surface cannot be
+        # re-hit by any reflected ray, and transmitted rays re-enter at
+        # t ~ 1e-7 << t_min. (Robustness fix over geometry.rs:92-136,
+        # which keeps the raw o + t*d point.)
+        ctr = ds.sph_center[sid]
+        rel = p_o - ctr
+        rn = jnp.sqrt(jnp.sum(rel * rel, axis=-1, keepdims=True))
+        safe_rn = jnp.where(rn == 0.0, 1.0, rn)
+        p_o = ctr + rel * (
+            ds.sph_radius[sid][:, None] / safe_rn) * (1.0 + 4.0e-7)
         sph_uv, n_o, dpdu_o, dpdv_o = sphere_hit_geom(
-            p_o, ds.sph_center[sid], ds.sph_radius[sid]
+            p_o, ctr, ds.sph_radius[sid]
         )
         sph_point = apply_point(o2w, p_o)
         sph_normal = normalize(apply_vector_transposed(w2o, n_o))
