@@ -55,9 +55,13 @@ class DiffResult:
     STAT_AOV_MSE = 5.0e-3
     STAT_REL_MEAN = 0.02
 
-    def stat_passes(self) -> bool:
+    def stat_passes(self, rel_mean_tol: float | None = None) -> bool:
         if self.channel_group == "RGB":
-            return self.rel_mean <= self.STAT_REL_MEAN
+            tol = (
+                rel_mean_tol if rel_mean_tol is not None
+                else self.STAT_REL_MEAN
+            )
+            return self.rel_mean <= tol
         return self.mse <= self.STAT_AOV_MSE
 
 

@@ -131,11 +131,18 @@ def run_single_test(
         )
     if stat_gate:
         # cross-backend statistical gate (TPU vs CPU-blessed references):
-        # beauty gated on image-mean agreement, AOVs on a small MSE bound
-        ok = diff.stat_passes()
+        # beauty gated on tonemapped image-mean agreement, AOVs on a
+        # small MSE bound; specular-transport scenes carry a larger
+        # per-scene bound in tests.toml (delta chains make whole paths
+        # flip under FMA-contraction ULPs, so the cross-backend spread
+        # of even the tonemapped mean stays several percent at gate spp)
+        ok = diff.stat_passes(spec.settings.stat_rel_mean)
+        tol = spec.settings.stat_rel_mean
         msg = (
             f"stat gate [{diff.channel_group}]: rel_mean="
-            f"{diff.rel_mean:.4f} mse={diff.mse:.2e}"
+            f"{diff.rel_mean:.4f}"
+            + (f" (tol {tol})" if tol is not None else "")
+            + f" mse={diff.mse:.2e}"
         )
     else:
         ok = diff.passes(tolerance)

@@ -28,6 +28,9 @@ class TestSettings:
     light_samples: Optional[int] = None
     aov: List[str] = field(default_factory=list)
     no_beauty: bool = False
+    # per-scene cross-backend statistical tolerance override (tonemapped
+    # rel-mean bound for the tpu gate); None = the gate default
+    stat_rel_mean: Optional[float] = None
 
     @staticmethod
     def from_dict(d: dict) -> "TestSettings":
@@ -36,6 +39,7 @@ class TestSettings:
             light_samples=d.get("light_samples"),
             aov=list(d.get("aov", [])),
             no_beauty=bool(d.get("no_beauty", False)),
+            stat_rel_mean=d.get("stat_rel_mean"),
         )
 
     def merged_with(self, defaults: "TestSettings") -> "TestSettings":
@@ -52,6 +56,11 @@ class TestSettings:
             ),
             aov=self.aov or list(defaults.aov),
             no_beauty=self.no_beauty or defaults.no_beauty,
+            stat_rel_mean=(
+                self.stat_rel_mean
+                if self.stat_rel_mean is not None
+                else defaults.stat_rel_mean
+            ),
         )
 
     def to_cli_args(self) -> List[str]:
