@@ -23,6 +23,17 @@ def ray_aabb(origin, inv_dir, bb_min, bb_max):
     return t0, t1
 
 
+# seam-inclusive barycentric bound: adjacent triangles' Moller-Trumbore
+# tests use different edge vectors, so a ray crossing their SHARED edge can
+# be rejected by both under FP rounding ("falls through the seam") — which
+# side of zero u/v lands on is backend-dependent (TPU FMA contraction sent
+# whole reflected beams through the cornell ceiling's diagonal seam).
+# Expanding the bounds by 1e-5 makes seam hits double-claimed instead of
+# dropped; for closed meshes the equal-t tie is resolved like any other
+# coincident hit, and open-boundary overreach is a 1e-5-barycentric sliver.
+BARY_EPS = 1e-5
+
+
 def ray_triangle(origin, direction, p0, p1, p2, t_min, t_max):
     """Moller-Trumbore. Returns (valid, t, u, v); invalid lanes have t=inf."""
     e1 = p1 - p0
@@ -37,8 +48,8 @@ def ray_triangle(origin, direction, p0, p1, p2, t_min, t_max):
     t = dot(qvec, e2) / safe_denom
     valid = (
         (denom != 0.0)
-        & (u >= 0.0) & (u <= 1.0)
-        & (v >= 0.0) & (u + v <= 1.0)
+        & (u >= -BARY_EPS) & (u <= 1.0 + BARY_EPS)
+        & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
         & (t >= t_min) & (t <= t_max)
     )
     return valid, jnp.where(valid, t, INF), u, v
