@@ -646,24 +646,42 @@ def _t8_chunk_layout(bvh, tri_pack, budget=None):
 
     if est_bytes(0) <= budget:
         return []
-    parts = []
-    stack = [0]
-    while stack:
-        r = stack.pop()
-        if bvh.count[r] > 0 or est_bytes(r) <= budget:
-            parts.append(r)
-        else:
-            stack.append(int(bvh.skip[r + 1]))
-            stack.append(r + 1)
-    out = []
-    for r in parts:
-        sl = _bvh2_slice(bvh, r)
-        nodes, meta, tris, stk = _bvh8t_layout(sl, tri_pack)
-        assert (nodes.size + tris.size) * 4 <= 1.5 * budget, (
-            "t8 chunk exceeded budget estimate")
-        out.append((nodes, meta, tris, stk,
-                    bvh.node_min[r].copy(), bvh.node_max[r].copy()))
-    return out
+
+    def partition(b):
+        parts = []
+        stack = [0]
+        while stack:
+            r = stack.pop()
+            if bvh.count[r] > 0 or est_bytes(r) <= b:
+                parts.append(r)
+            else:
+                stack.append(int(bvh.skip[r + 1]))
+                stack.append(r + 1)
+        return parts
+
+    # The 80 B/tri estimate under-counts fragmented leaves (merged t8 leaf
+    # groups of 1-2 prims cost up to ~320 B/tri), so the built chunk can
+    # exceed the estimate; retry the partition at a halved budget instead
+    # of crashing scene compilation (ADVICE r2).
+    split_budget = budget
+    for _ in range(4):
+        out = []
+        ok = True
+        for r in partition(split_budget):
+            sl = _bvh2_slice(bvh, r)
+            nodes, meta, tris, stk = _bvh8t_layout(sl, tri_pack)
+            if (nodes.size + tris.size) * 4 > 1.5 * budget:
+                ok = False
+                break
+            out.append((nodes, meta, tris, stk,
+                        bvh.node_min[r].copy(), bvh.node_max[r].copy()))
+        if ok:
+            return out
+        split_budget //= 2
+    raise RuntimeError(
+        "t8 chunk layout could not fit the VMEM budget even after 4 "
+        "budget halvings; fall back with TPU_RT_PALLAS=0 (XLA walk)"
+    )
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:

@@ -263,7 +263,12 @@ def trace_radiance(
         if sort_bounces:
             # permute the whole path state toward the NEXT bounce's ray
             # coherence; dead lanes sort last so their lockstep tiles
-            # terminate at the root
+            # terminate at the root.
+            # NOTE: the closure-captured ray differentials `diff` are NOT
+            # permuted — safe ONLY because differentials are consumed
+            # exclusively at depth 0 (primary AA context), before the first
+            # sort runs. Include diff in the packed permutation if AA ever
+            # reads differentials past the first bounce.
             key = ray_sort_key(ds, ray_o, ray_d)
             key = key | ((~alive).astype(jnp.int32) << 25)
             iota = jnp.arange(B_, dtype=jnp.int32)

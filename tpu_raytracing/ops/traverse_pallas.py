@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.bvh import MAX_LEAF_SIZE
+from .intersect import BARY_EPS
 
 SUB, LANE = 8, 128
 TILE = SUB * LANE
@@ -241,8 +242,8 @@ def _walk_kernel(early_exit: bool, sentinel: int, n_tris: int):
                     t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
                     ok = (
                         (den != 0.0)
-                        & (u >= -1e-5) & (u <= 1.00001)
-                        & (v >= -1e-5) & (u + v <= 1.00001)
+                        & (u >= -BARY_EPS) & (u <= 1.0 + BARY_EPS)
+                        & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
                         & (t >= t_min) & (t <= t_best)
                         & hit
                         & (k < count)
@@ -350,8 +351,8 @@ def _pair_kernel(early_exit: bool, root_meta: int, n_tris: int):
                 t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
                 ok = (
                     (den != 0.0)
-                    & (u >= -1e-5) & (u <= 1.00001)
-                    & (v >= -1e-5) & (u + v <= 1.00001)
+                    & (u >= -BARY_EPS) & (u <= 1.0 + BARY_EPS)
+                    & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
                     & (t >= t_min) & (t <= t_best)
                     & hit
                     & (k < count)
@@ -560,8 +561,8 @@ def _quad_kernel(early_exit: bool, root_meta: int, n_tris: int,
                 t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
                 ok = (
                     (den != 0.0)
-                    & (u >= -1e-5) & (u <= 1.00001)
-                    & (v >= -1e-5) & (u + v <= 1.00001)
+                    & (u >= -BARY_EPS) & (u <= 1.0 + BARY_EPS)
+                    & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
                     & (t >= t_min) & (t <= t_best)
                     & hit
                     & (k < count)
@@ -1088,8 +1089,8 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                         t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
                         tb_row = jax.lax.slice(t_best, (r, 0), (r + 1, LANE))
                         ok = ((den != 0.0)
-                              & (u >= -1e-5) & (u <= 1.00001)
-                              & (v >= -1e-5) & (u + v <= 1.00001)
+                              & (u >= -BARY_EPS) & (u <= 1.0 + BARY_EPS)
+                              & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
                               & (t >= rowb(t_min, r))
                               & (t <= jnp.broadcast_to(tb_row, (SUB, LANE)))
                               & hm8)

@@ -43,7 +43,10 @@ def main(argv=None) -> int:
     parser.add_argument("--json", action="store_true", help="JSON results output")
     parser.add_argument(
         "--tolerance", type=float, default=None,
-        help="MSE tolerance for pass/fail (default: 0.0, exact match)",
+        help="MSE tolerance for pass/fail. Default None: exact match "
+        "(MSE 0.0) on same-backend runs, but the tpu backend auto-enables "
+        "the statistical gate (see --stat-gate). Pass an explicit value "
+        "to force MSE gating everywhere.",
     )
     parser.add_argument(
         "--stat-gate", action="store_true",
