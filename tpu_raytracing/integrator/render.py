@@ -229,11 +229,11 @@ def trace_radiance(
                     presorted=sort_bounces,
                 )
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
-                f = bsdf_eval(params, wo, wi, kinds)
+                good = nee_mask & ~occ & (ls.pdf > 0.0)
+                f = bsdf_eval(params, wo, wi, kinds, active=good)
                 cos_theta = jnp.maximum(wi[..., 2], 0.0)
                 safe_pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
                 c = f * ls.radiance * (cos_theta / safe_pdf)[:, None]
-                good = nee_mask & ~occ & (ls.pdf > 0.0)
                 contrib = contrib + jnp.where(good[:, None], c, 0.0)
             direct = direct + contrib / n_s
         radiance = radiance + pw * direct
@@ -241,7 +241,7 @@ def trace_radiance(
         # continuation via BSDF importance sampling
         samp, stream = bsdf_sample(
             params, wo, jnp.full(B_, B.ALL_COMPONENTS, jnp.int32),
-            cfg, stream, kinds,
+            cfg, stream, kinds, active=alive,
         )
         ok = (
             samp.valid
@@ -453,18 +453,18 @@ def trace_radiance_spp(
                     active=nee_mask,
                 )
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
-                f = bsdf_eval(params, wo, wi, kinds)
+                good = nee_mask & ~occ & (ls.pdf > 0.0)
+                f = bsdf_eval(params, wo, wi, kinds, active=good)
                 cos_theta = jnp.maximum(wi[..., 2], 0.0)
                 safe_pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
                 c = f * ls.radiance * (cos_theta / safe_pdf)[:, None]
-                good = nee_mask & ~occ & (ls.pdf > 0.0)
                 contrib = contrib + jnp.where(good[:, None], c, 0.0)
             direct = direct + contrib / n_s
         path_rad = path_rad + pw * direct
 
         samp, stream = bsdf_sample(
             params, wo, jnp.full(B_, B.ALL_COMPONENTS, jnp.int32),
-            cfg, stream, kinds,
+            cfg, stream, kinds, active=alive,
         )
         ok = (
             samp.valid
@@ -533,11 +533,15 @@ def render_beauty_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
                         active=None):
     """Average radiance over spp for one pixel chunk.
 
-    Path regeneration by default; TPU_RT_REGEN=0 falls back to the
-    sequential per-sample loop (A/B knob; outputs are bit-identical)."""
+    Sequential per-sample loop by default; TPU_RT_REGEN=1 switches to
+    path regeneration (A/B knob; outputs are bit-identical). Measured on
+    TPU at HEAD 572f83b (cbbunny 8spp): regen 1.906 vs sequential 2.698
+    Mrays/s — the per-bounce regeneration work (camera-ray + stream
+    rebuild every iteration) costs more than the reclaimed dead lanes
+    save, so regen stays opt-in until that flips (docs/PERF_LOG.md)."""
     import os as _os
 
-    if _os.environ.get("TPU_RT_REGEN", "1") == "1":
+    if _os.environ.get("TPU_RT_REGEN", "0") == "1":
         total, rays = trace_radiance_spp(
             ds, cfg, st, px, py, 0, st.samples_per_pixel, active=active
         )
@@ -555,17 +559,9 @@ def render_beauty_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
     return total / st.samples_per_pixel, rays
 
 
-@partial(jax.jit, static_argnums=(1, 2, 5))
-def render_aov_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
-                     aovs: tuple = ("n", "a", "u", "m")):
-    """First-hit AOVs: normals, albedo, uv, mip level (lib.rs:403-444).
-
-    `aovs` (static) selects which outputs are actually computed; unneeded
-    texture/mip subgraphs are dropped from the executable. (Besides the
-    obvious saving, the TPU compiler crashes — SIGILL in its fusion cost
-    model — on the mip/texture subgraph under an orthographic camera's
-    all-zero direction differentials; a normals-only request no longer
-    traces that path.)"""
+@partial(jax.jit, static_argnums=(1, 2))
+def _aov_hit_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py):
+    """First-hit pass of the AOV render: rays, intersection, eval context."""
     stream = make_stream(px, py, 0)
     ray_o, ray_d, diff, stream = generate_rays(
         ds, px, py, cfg, stream, st.samples_per_pixel, jitter=False
@@ -585,11 +581,19 @@ def render_aov_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
         dvdx=jnp.where(hit.hit, ctx.dvdx, 0.0),
         dvdy=jnp.where(hit.hit, ctx.dvdy, 0.0),
     )
+    normals = jnp.where(hit.hit[:, None], hit.normal, 0.0)
+    uv = jnp.where(hit.hit[:, None], hit.uv, 0.0)
+    return normals, uv, hit.hit, hit.material, ctx
 
-    mat = jnp.maximum(hit.material, 0)
+
+@partial(jax.jit, static_argnums=(1,))
+def _aov_tex_chunk(ds: DeviceScene, aovs: tuple, hit_mask, material,
+                   ctx: EvalCtx):
+    """Texture-dependent AOVs (albedo, mip level) from first-hit data."""
+    B_ = hit_mask.shape[0]
+    mat = jnp.maximum(material, 0)
     kind = ds.mat_kind[mat]
     albedo_tex = ds.mat_tex[mat, 0]
-    zero3 = jnp.zeros((B_, 3), jnp.float32)
 
     if "a" in aovs:
         # albedo: diffuse/coated sample their albedo texture, others are
@@ -597,21 +601,42 @@ def render_aov_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
         sampled = eval_texture(ds, albedo_tex, ctx)[:, :3]
         has_albedo = (kind == MAT_DIFFUSE) | (kind == MAT_COATED_DIFFUSE)
         albedo = jnp.where(has_albedo[:, None], sampled, 1.0)
-        albedo = jnp.where(hit.hit[:, None], albedo, 0.0)
+        albedo = jnp.where(hit_mask[:, None], albedo, 0.0)
     else:
-        albedo = zero3
+        albedo = jnp.zeros((B_, 3), jnp.float32)
 
     if "m" in aovs:
         # mip level: the material's primary texture when it is a trilinear
         # image (materials.rs get_mip_level: only Diffuse has one)
         mip_tid = jnp.where(kind == MAT_DIFFUSE, albedo_tex, -1)
         mip, mip_valid = texture_mip_level(ds, mip_tid, ctx)
-        mip = jnp.where(hit.hit & mip_valid & (kind == MAT_DIFFUSE), mip, 0.0)
+        mip = jnp.where(hit_mask & mip_valid & (kind == MAT_DIFFUSE), mip, 0.0)
     else:
         mip = jnp.zeros((B_,), jnp.float32)
+    return albedo, mip
 
-    normals = jnp.where(hit.hit[:, None], hit.normal, 0.0)
-    uv = jnp.where(hit.hit[:, None], hit.uv, 0.0)
+
+def render_aov_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py,
+                     aovs: tuple = ("n", "a", "u", "m")):
+    """First-hit AOVs: normals, albedo, uv, mip level (lib.rs:403-444).
+
+    Two executables, split at the eval-context boundary: (1) rays +
+    intersection + differentials, (2) texture/mip evaluation. The remote
+    TPU compiler SIGILLs (fusion cost model) when the mip/texture
+    subgraph is fused with an orthographic camera's all-zero direction
+    differentials in one executable; the split keeps those subgraphs in
+    separate fusions so every builtin scene renders its full AOV set on
+    TPU (round-2 verdict item 5). `aovs` (static) still drops unrequested
+    texture subgraphs entirely."""
+    normals, uv, hit_mask, material, ctx = _aov_hit_chunk(
+        ds, cfg, st, px, py
+    )
+    if ("a" in aovs) or ("m" in aovs):
+        albedo, mip = _aov_tex_chunk(ds, aovs, hit_mask, material, ctx)
+    else:
+        B_ = px.shape[0]
+        albedo = jnp.zeros((B_, 3), jnp.float32)
+        mip = jnp.zeros((B_,), jnp.float32)
     return normals, albedo, uv, mip
 
 

@@ -42,6 +42,10 @@ class DiffResult:
     channel_group: str
     rel_mean: float = 0.0  # |mean(t(out)) - mean(t(ref))| / mean(t(ref)),
     # t = Reinhard x/(1+x) on clamped-nonnegative values (bounded stat)
+    block_rel: float = 0.0  # max over an 8x8 block grid of
+    # |mean(t(out)_blk) - mean(t(ref)_blk)| / mean(t(ref)) — catches
+    # spatially-wrong but energy-preserving regressions (shifted/flipped
+    # geometry, region channel swaps) that a global mean cannot see
 
     def passes(self, tolerance: float) -> bool:
         return self.mse <= tolerance
@@ -54,14 +58,26 @@ class DiffResult:
     # 1.7e-3 measured), so they get a small absolute MSE bound.
     STAT_AOV_MSE = 5.0e-3
     STAT_REL_MEAN = 0.02
+    # per-block MC noise is ~sqrt(n_blocks) larger than the global mean's;
+    # 3x the scene's mean tolerance bounds it while still failing
+    # structural misplacement (a swapped quadrant shows up at O(1))
+    BLOCK_TOL_FACTOR = 3.0
 
-    def stat_passes(self, rel_mean_tol: float | None = None) -> bool:
+    def stat_passes(
+        self,
+        rel_mean_tol: float | None = None,
+        block_rel_tol: float | None = None,
+    ) -> bool:
         if self.channel_group == "RGB":
             tol = (
                 rel_mean_tol if rel_mean_tol is not None
                 else self.STAT_REL_MEAN
             )
-            return self.rel_mean <= tol
+            btol = (
+                block_rel_tol if block_rel_tol is not None
+                else self.BLOCK_TOL_FACTOR * tol
+            )
+            return self.rel_mean <= tol and self.block_rel <= btol
         return self.mse <= self.STAT_AOV_MSE
 
 
@@ -92,4 +108,27 @@ def compare_images(output_path: Path, reference_path: Path) -> DiffResult:
         rel_mean=float(
             abs(np.mean(ta) - tb_mean) / max(tb_mean, 1e-9)
         ),
+        block_rel=_block_rel(ta, tb, tb_mean),
     )
+
+
+def _block_rel(ta: np.ndarray, tb: np.ndarray, tb_mean: float,
+               grid: int = 8) -> float:
+    """Max tonemapped block-mean deviation over a grid x grid tiling,
+    normalized by the global reference mean (so dark blocks don't blow
+    up the statistic)."""
+    denom = max(tb_mean, 1e-9)
+    worst = 0.0
+    for rows_a, rows_b in zip(
+        np.array_split(ta, grid, axis=0), np.array_split(tb, grid, axis=0)
+    ):
+        for blk_a, blk_b in zip(
+            np.array_split(rows_a, grid, axis=1),
+            np.array_split(rows_b, grid, axis=1),
+        ):
+            if blk_a.size == 0:
+                continue
+            worst = max(
+                worst, abs(float(np.mean(blk_a) - np.mean(blk_b))) / denom
+            )
+    return worst

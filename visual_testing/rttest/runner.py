@@ -76,6 +76,18 @@ def run_single_test(
     output_path.unlink(missing_ok=True)
     output_dir.mkdir(parents=True, exist_ok=True)
 
+    # external scene assets are not version-controlled (the reference ships
+    # them as .MISSING_LARGE_BLOBS); classify their absence as a one-line
+    # missing-asset ERROR, not a renderer traceback
+    if spec.scene_path is not None:
+        scene_file = base_dir / spec.scene_path
+        if not scene_file.exists():
+            return TestResult(
+                spec.name, "ERROR", 0.0,
+                message=f"missing scene asset: {spec.scene_path} "
+                        "(external blob, not in checkout)",
+            )
+
     # the CLI writes under scenes/output/<path>; hand it an absolute path
     cmd = build_command(spec, output_path.resolve(), renderer_args, backend, base_dir)
     t0 = time.perf_counter()
@@ -100,7 +112,7 @@ def run_single_test(
     if proc.returncode != 0:
         return TestResult(
             spec.name, "ERROR", elapsed,
-            message=proc.stderr.strip().splitlines()[-1] if proc.stderr else "renderer failed",
+            message=_error_summary(proc.stderr, proc.returncode),
         )
     if actual is None:
         return TestResult(
@@ -136,12 +148,15 @@ def run_single_test(
         # per-scene bound in tests.toml (delta chains make whole paths
         # flip under FMA-contraction ULPs, so the cross-backend spread
         # of even the tonemapped mean stays several percent at gate spp)
-        ok = diff.stat_passes(spec.settings.stat_rel_mean)
+        ok = diff.stat_passes(
+            spec.settings.stat_rel_mean, spec.settings.stat_block_rel
+        )
         tol = spec.settings.stat_rel_mean
         msg = (
             f"stat gate [{diff.channel_group}]: rel_mean="
             f"{diff.rel_mean:.4f}"
             + (f" (tol {tol})" if tol is not None else "")
+            + f" block_rel={diff.block_rel:.4f}"
             + f" mse={diff.mse:.2e}"
         )
     else:
@@ -153,6 +168,26 @@ def run_single_test(
         message=msg,
         output_path=str(output_path), reference_path=str(reference_path),
     )
+
+
+def _error_summary(stderr: str, returncode: int) -> str:
+    """One readable line from a failed renderer's stderr.
+
+    Prefers the actual exception line over trailing boilerplate (JAX
+    appends 'For simplicity, JAX has removed its internal frames...'
+    AFTER the exception, so the last line is useless evidence)."""
+    if not stderr:
+        return f"renderer failed (exit {returncode})"
+    lines = [ln.strip() for ln in stderr.strip().splitlines() if ln.strip()]
+    for ln in reversed(lines):
+        # 'SomeError: message' / 'Exception: message' shaped lines
+        head = ln.split(":", 1)[0]
+        if head.endswith(("Error", "Exception", "Interrupt")) and " " not in head:
+            return ln[:300]
+    for ln in reversed(lines):
+        if "error" in ln.lower() or "crash" in ln.lower():
+            return ln[:300]
+    return lines[-1][:300]
 
 
 def _locate_output(base_dir: Path, requested: Path) -> Optional[Path]:

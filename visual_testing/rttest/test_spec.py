@@ -31,6 +31,9 @@ class TestSettings:
     # per-scene cross-backend statistical tolerance override (tonemapped
     # rel-mean bound for the tpu gate); None = the gate default
     stat_rel_mean: Optional[float] = None
+    # per-scene spatial (block-mean) bound; None = BLOCK_TOL_FACTOR x the
+    # effective rel-mean tolerance
+    stat_block_rel: Optional[float] = None
 
     @staticmethod
     def from_dict(d: dict) -> "TestSettings":
@@ -40,6 +43,7 @@ class TestSettings:
             aov=list(d.get("aov", [])),
             no_beauty=bool(d.get("no_beauty", False)),
             stat_rel_mean=d.get("stat_rel_mean"),
+            stat_block_rel=d.get("stat_block_rel"),
         )
 
     def merged_with(self, defaults: "TestSettings") -> "TestSettings":
@@ -60,6 +64,11 @@ class TestSettings:
                 self.stat_rel_mean
                 if self.stat_rel_mean is not None
                 else defaults.stat_rel_mean
+            ),
+            stat_block_rel=(
+                self.stat_block_rel
+                if self.stat_block_rel is not None
+                else defaults.stat_block_rel
             ),
         )
 
