@@ -18,6 +18,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
 
 import numpy as np
 
@@ -32,31 +33,17 @@ def log(msg):
 
 
 def parse_xplane(trace_dir: Path):
-    """Aggregate device-plane XEvent durations by event name."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    """Aggregate device-plane XEvent durations by event name.
+
+    Uses the dependency-free wire-format reader in xplane_parse.py (the
+    tensorflow xplane_pb2 proto is not importable in this image)."""
+    from xplane_parse import device_op_totals
 
     files = glob.glob(str(trace_dir / "**" / "*.xplane.pb"), recursive=True)
     if not files:
         raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
     latest = max(files, key=os.path.getmtime)
-    xs = xplane_pb2.XSpace()
-    xs.ParseFromString(Path(latest).read_bytes())
-    totals = defaultdict(float)
-    for plane in xs.planes:
-        pn = plane.name.lower()
-        if not ("tpu" in pn or "device" in pn or "/device:" in pn):
-            continue
-        if "host" in pn:
-            continue
-        emeta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            ln = line.name.lower()
-            # XLA op lines carry the per-op events; skip step/annotation lines
-            if "step" in ln:
-                continue
-            for ev in line.events:
-                name = emeta.get(ev.metadata_id, str(ev.metadata_id))
-                totals[name] += ev.duration_ps / 1e12
+    totals, _planes = device_op_totals(Path(latest))
     return totals, latest
 
 

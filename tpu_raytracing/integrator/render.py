@@ -343,9 +343,12 @@ def trace_radiance_spp(
     the reference megakernel's per-thread spp loop
     (kernels/pathtracer.cu:103-134).
 
-    Bit-exact with the sequential loop: the per-(pixel, sample, dim) RNG
-    makes each sample's estimate independent of scheduling, and per pixel
-    the accumulation stays in ascending-sample order.
+    Matches the sequential loop to fusion-order ULPs: the per-(pixel,
+    sample, dim) RNG makes each sample's estimate independent of
+    scheduling and per pixel the accumulation stays in ascending-sample
+    order, but regeneration is a different XLA graph whose fusions
+    reassociate FMAs (tests/test_trace_modes.py pins the contract; the
+    TPU_RT_BOUNCE_SORT knob inside either mode IS bit-exact).
     """
     B_ = px.shape[0]
     stream = make_stream(px, py, jnp.uint32(spp_base))
@@ -354,21 +357,38 @@ def trace_radiance_spp(
     )
     f32 = ray_o.dtype
     kinds = ds.meta.mat_kinds_present
-    act0 = jnp.ones(B_, bool) if active is None else active
+    act0_in = jnp.ones(B_, bool) if active is None else active
+
+    # per-bounce coherence sort (same knob/semantics as trace_radiance):
+    # regenerated lanes mix fresh primaries with deep bounces, so the
+    # whole state — pixel identity included — rides one packed
+    # permutation per bounce and traversal runs presorted.
+    from ..ops.traverse import _use_pallas, ray_sort_key
+
+    import os as _os
+
+    sort_bounces = (
+        _use_pallas(ds)
+        and _os.environ.get("TPU_RT_BOUNCE_SORT", "1") == "1"
+    )
 
     state = dict(
         sample_i=jnp.full(B_, spp_base, jnp.uint32),
         depth=jnp.zeros(B_, jnp.int32),
+        px=px.astype(jnp.int32),
+        py=py.astype(jnp.int32),
         ray_o=ray_o,
         ray_d=ray_d,
         diff=diff,
-        alive=act0 & (n_spp > 0),
+        act0=act0_in,
+        alive=act0_in & (n_spp > 0),
         specular=jnp.ones(B_, bool),
         path_rad=jnp.zeros((B_, 3), f32),
         acc=jnp.zeros((B_, 3), f32),
         path_weight=jnp.ones((B_, 3), f32),
         stream=stream,
         rays=jnp.zeros((), jnp.int32),
+        src=jnp.arange(B_, dtype=jnp.int32),
     )
 
     def cond(s):
@@ -383,6 +403,7 @@ def trace_radiance_spp(
         stream = s["stream"]
         sample_i = s["sample_i"]
         acc = s["acc"]
+        lane_px, lane_py, act0 = s["px"], s["py"], s["act0"]
 
         rays = s["rays"] + jnp.sum(alive.astype(jnp.int32))
 
@@ -391,6 +412,7 @@ def trace_radiance_spp(
         t_max = jnp.where(primary, ds.meta.far_clip, jnp.inf)
         t, prim = intersect_scene(
             ds, ray_o, ray_d, t_min, t_max, active=alive,
+            presorted=sort_bounces,
         )
         hit_mask = prim >= 0
         miss = alive & ~hit_mask
@@ -451,6 +473,7 @@ def trace_radiance_spp(
                     jnp.full(B_, 1.0e-3, f32),
                     ls.distance - 1.0e-3,
                     active=nee_mask,
+                    presorted=sort_bounces,
                 )
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
                 good = nee_mask & ~occ & (ls.pdf > 0.0)
@@ -491,9 +514,12 @@ def trace_radiance_spp(
         has_more = next_i < jnp.uint32(spp_base + n_spp)
         regen = done & has_more & act0
 
-        stream_new = make_stream(px, py, next_i)
+        stream_new = make_stream(
+            lane_px.astype(jnp.uint32), lane_py.astype(jnp.uint32), next_i
+        )
         n_o, n_d, n_diff, stream_new = generate_rays(
-            ds, px, py, cfg, stream_new, st.samples_per_pixel, jitter=True
+            ds, lane_px, lane_py, cfg, stream_new, st.samples_per_pixel,
+            jitter=True,
         )
         sample_i = jnp.where(done, next_i, sample_i)
         sel_l = regen[:, None]
@@ -509,12 +535,63 @@ def trace_radiance_spp(
             lambda n, o: jnp.where(regen, n, o), stream_new, stream
         )
 
+        src = s["src"]
+        if sort_bounces:
+            # permute the whole regen state toward the NEXT bounce's ray
+            # coherence: fresh primaries and deep bounces interleave in
+            # lane space, so pixel identity (lane_px/py), per-lane sample
+            # and depth counters, differentials, and the banked
+            # accumulator all cross the same packed permutation.
+            key = ray_sort_key(ds, ray_o, ray_d)
+            key = key | ((~alive).astype(jnp.int32) << 25)
+            iota = jnp.arange(B_, dtype=jnp.int32)
+            _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
+            pk = jnp.concatenate(
+                [
+                    ray_o, ray_d, path_rad, pw, acc,
+                    diff.reshape(B_, 12),
+                    alive.astype(f32)[:, None],
+                    specular.astype(f32)[:, None],
+                ],
+                axis=1,
+            )[order]
+            # int lanes stay in the INTEGER domain across the permutation
+            # (the TPU canonicalizes NaN/denormal f32 bit patterns)
+            u32 = jnp.uint32
+            ib = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+                a, jnp.int32)[:, None]
+            pk_i = jnp.concatenate(
+                [ib(stream.px), ib(stream.py), ib(stream.sample),
+                 ib(stream.dim), ib(sample_i), depth[:, None],
+                 lane_px[:, None], lane_py[:, None],
+                 act0.astype(jnp.int32)[:, None], src[:, None]],
+                axis=1,
+            )[order]
+            ray_o, ray_d = pk[:, 0:3], pk[:, 3:6]
+            path_rad, pw, acc = pk[:, 6:9], pk[:, 9:12], pk[:, 12:15]
+            diff = pk[:, 15:27].reshape(B_, 4, 3)
+            alive = pk[:, 27] > 0
+            specular = pk[:, 28] > 0
+            reu = lambda c: jax.lax.bitcast_convert_type(  # noqa: E731
+                pk_i[:, c], u32)
+            stream = stream._replace(
+                px=reu(0), py=reu(1), sample=reu(2), dim=reu(3),
+            )
+            sample_i = reu(4)
+            depth = pk_i[:, 5]
+            lane_px, lane_py = pk_i[:, 6], pk_i[:, 7]
+            act0 = pk_i[:, 8] > 0
+            src = pk_i[:, 9]
+
         return dict(
             sample_i=sample_i,
             depth=depth,
+            px=lane_px,
+            py=lane_py,
             ray_o=ray_o,
             ray_d=ray_d,
             diff=diff,
+            act0=act0,
             alive=alive,
             specular=specular,
             path_rad=path_rad,
@@ -522,10 +599,16 @@ def trace_radiance_spp(
             path_weight=pw,
             stream=stream,
             rays=rays,
+            src=src,
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["acc"], out["rays"]
+    acc = out["acc"]
+    if sort_bounces:
+        iota = jnp.arange(B_, dtype=jnp.int32)
+        _, inv = jax.lax.sort_key_val(out["src"], iota, is_stable=True)
+        acc = acc[inv]
+    return acc, out["rays"]
 
 
 @partial(jax.jit, static_argnums=(1, 2))
