@@ -146,7 +146,13 @@ def trace_radiance(
     def cond(s):
         return jnp.any(s["alive"])
 
-    def body(s):
+    def body(s, static_primary=None):
+        # static_primary: Python-level bounce specialization. True = the
+        # peeled depth-0 bounce (clip range + AA differentials are compiled
+        # in); False = the while_loop body for every later bounce (the
+        # trilinear-mip/checker-AA texture machinery is statically absent —
+        # secondary bounces carry zero uv footprints, so the skip is
+        # bit-exact); None = unspecialized (regen path semantics).
         depth = s["depth"]
         alive = s["alive"]
         ray_o, ray_d = s["ray_o"], s["ray_d"]
@@ -156,9 +162,18 @@ def trace_radiance(
 
         rays = s["rays"] + jnp.sum(alive.astype(jnp.int32))
 
-        primary = depth == 0
-        t_min = jnp.where(primary, ds.meta.near_clip, 1.0e-4)
-        t_max = jnp.where(primary, ds.meta.far_clip, jnp.inf)
+        if static_primary is None:
+            primary = depth == 0
+            t_min = jnp.where(primary, ds.meta.near_clip, 1.0e-4)
+            t_max = jnp.where(primary, ds.meta.far_clip, jnp.inf)
+        elif static_primary:
+            primary = jnp.ones((), bool)
+            t_min = jnp.asarray(ds.meta.near_clip, f32)
+            t_max = jnp.asarray(ds.meta.far_clip, f32)
+        else:
+            primary = jnp.zeros((), bool)
+            t_min = jnp.asarray(1.0e-4, f32)
+            t_max = jnp.asarray(jnp.inf, f32)
         t, prim = intersect_scene(
             ds, ray_o, ray_d,
             jnp.broadcast_to(t_min, (B_,)),
@@ -184,7 +199,8 @@ def trace_radiance(
 
         # material evaluation context (antialiased on primary hits)
         plain_ctx = EvalCtx.without_antialiasing(hit.uv)
-        if st.antialias_primary_rays:
+        has_derivs = st.antialias_primary_rays and static_primary is not False
+        if has_derivs:
             aa_ctx = eval_ctx_from_differentials(hit, ray_o, ray_d, diff)
             use_aa = primary & alive
 
@@ -203,7 +219,7 @@ def trace_radiance(
 
         from ..ops.bsdf import get_bsdf_params, is_delta_bsdf
 
-        params = get_bsdf_params(ds, hit.material, ctx)
+        params = get_bsdf_params(ds, hit.material, ctx, has_derivs=has_derivs)
         bx, by = make_orthonormal_basis(hit.normal)
         wo = _to_local(bx, by, hit.normal, -ray_d)
 
@@ -265,10 +281,10 @@ def trace_radiance(
             # coherence; dead lanes sort last so their lockstep tiles
             # terminate at the root.
             # NOTE: the closure-captured ray differentials `diff` are NOT
-            # permuted — safe ONLY because differentials are consumed
-            # exclusively at depth 0 (primary AA context), before the first
-            # sort runs. Include diff in the packed permutation if AA ever
-            # reads differentials past the first bounce.
+            # permuted — structurally safe: differentials are consumed only
+            # in the PEELED depth-0 bounce (static_primary=True), which runs
+            # before the first sort's output is ever read back. The
+            # while_loop body (static_primary=False) never touches diff.
             key = ray_sort_key(ds, ray_o, ray_d)
             key = key | ((~alive).astype(jnp.int32) << 25)
             iota = jnp.arange(B_, dtype=jnp.int32)
@@ -315,7 +331,13 @@ def trace_radiance(
             src=src,
         )
 
-    out = jax.lax.while_loop(cond, body, state)
+    # peel the primary bounce: clip range, AA differentials, and the
+    # trilinear/checker-AA texture paths compile only into this one call;
+    # the loop body below is statically secondary (plain uv contexts)
+    state = body(state, static_primary=True)
+    out = jax.lax.while_loop(
+        cond, lambda s: body(s, static_primary=False), state
+    )
     radiance = out["radiance"]
     if sort_bounces:
         iota = jnp.arange(B_, dtype=jnp.int32)
@@ -450,7 +472,10 @@ def trace_radiance_spp(
 
         from ..ops.bsdf import get_bsdf_params, is_delta_bsdf
 
-        params = get_bsdf_params(ds, hit.material, ctx)
+        params = get_bsdf_params(
+            ds, hit.material, ctx,
+            has_derivs=bool(st.antialias_primary_rays),
+        )
         bx, by = make_orthonormal_basis(hit.normal)
         wo = _to_local(bx, by, hit.normal, -ray_d)
 

@@ -69,18 +69,21 @@ class BsdfSample(NamedTuple):
     valid: jax.Array      # (B,) bool: usable sample (not null/invalid)
 
 
-def get_bsdf_params(ds: DeviceScene, mat_id, ctx: EvalCtx) -> BsdfParams:
+def get_bsdf_params(
+    ds: DeviceScene, mat_id, ctx: EvalCtx, has_derivs=True
+) -> BsdfParams:
     """Gather + evaluate material textures -> per-lane BSDF parameters
-    (materials.rs get_bsdf semantics incl. roughness remap + smooth fallback)."""
+    (materials.rs get_bsdf semantics incl. roughness remap + smooth fallback).
+    has_derivs: static no-footprint promise, see ops/textures.eval_texture."""
     mat_id = jnp.maximum(mat_id, 0)
     mp = ds.mat_pack[mat_id]  # one wide gather: kind, tex0..4, remap
     kind = mp[:, 0]
     tex = mp[:, 1:6]
     remap = mp[:, 6] != 0
 
-    t0 = eval_texture(ds, tex[:, 0], ctx)  # albedo / eta
-    t1 = eval_texture(ds, tex[:, 1], ctx)  # kappa / dielectric eta
-    t2 = eval_texture(ds, tex[:, 2], ctx)  # roughness
+    t0 = eval_texture(ds, tex[:, 0], ctx, has_derivs)  # albedo / eta
+    t1 = eval_texture(ds, tex[:, 1], ctx, has_derivs)  # kappa / dielectric eta
+    t2 = eval_texture(ds, tex[:, 2], ctx, has_derivs)  # roughness
     has_rough_tex = tex[:, 2] >= 0
 
     is_layered = kind == MAT_COATED_DIFFUSE
@@ -107,8 +110,8 @@ def get_bsdf_params(ds: DeviceScene, mat_id, ctx: EvalCtx) -> BsdfParams:
     ).astype(jnp.int32)
 
     if MAT_COATED_DIFFUSE in ds.meta.mat_kinds_present:
-        thickness = eval_texture(ds, tex[:, 3], ctx)[:, 0]
-        coat_albedo = eval_texture(ds, tex[:, 4], ctx)[:, :3]
+        thickness = eval_texture(ds, tex[:, 3], ctx, has_derivs)[:, 0]
+        coat_albedo = eval_texture(ds, tex[:, 4], ctx, has_derivs)[:, :3]
     else:
         thickness = jnp.zeros_like(alpha_x)
         coat_albedo = jnp.zeros_like(albedo)

@@ -149,4 +149,4 @@ def environment_radiance(ds: DeviceScene, direction):
     uv = jnp.stack([s, t], axis=-1)
     ctx = EvalCtx.without_antialiasing(uv)
     tid = jnp.full(direction.shape[:-1], ds.meta.env_tex, jnp.int32)
-    return eval_texture(ds, tid, ctx)[..., :3]
+    return eval_texture(ds, tid, ctx, has_derivs=False)[..., :3]

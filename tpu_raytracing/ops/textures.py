@@ -149,7 +149,7 @@ def _mip_level_value(ds: DeviceScene, mip0, ctx: EvalCtx):
     return level, valid
 
 
-def _sample_image(ds: DeviceScene, row, ints, ctx: EvalCtx):
+def _sample_image(ds: DeviceScene, row, ints, ctx: EvalCtx, has_derivs=True):
     mip0 = jnp.maximum(ints[:, 0], 0)   # first mip level (baked by compiler)
     filt = ints[:, 4]
     wrap = ints[:, 5]
@@ -162,7 +162,10 @@ def _sample_image(ds: DeviceScene, row, ints, ctx: EvalCtx):
     out = jnp.where(
         (filt == int(FilterMode.NEAREST))[:, None], nearest, bilinear
     )
-    if ds.meta.any_trilinear:
+    # has_derivs=False (static) ⇒ ctx derivatives are all zero ⇒ the mip
+    # footprint is invalid and trilinear falls back to bilinear anyway —
+    # skip the two extra mip taps (8 gathers/lane) entirely. Bit-exact.
+    if ds.meta.any_trilinear and has_derivs:
         level, valid = _mip_level_value(ds, mip0, ctx)
         max_level = (n_levels - 1).astype(jnp.float32)
         lower = jnp.floor(jnp.clip(level, 0.0, max_level)).astype(jnp.int32)
@@ -175,16 +178,20 @@ def _sample_image(ds: DeviceScene, row, ints, ctx: EvalCtx):
     return out
 
 
-def _checker(row, ctx: EvalCtx):
+def _checker(row, ctx: EvalCtx, has_derivs=True):
     c1 = row[:, 0:4]
     c2 = row[:, 4:8]
     u = ctx.uv[:, 0] - jnp.floor(ctx.uv[:, 0])
     v = ctx.uv[:, 1] - jnp.floor(ctx.uv[:, 1])
-    point_sampled = ((ctx.dudx == 0.0) & (ctx.dvdx == 0.0)) | (
-        (ctx.dudy == 0.0) & (ctx.dvdy == 0.0)
-    )
     plain = jnp.where(
         ((u > 0.5) != (v > 0.5))[:, None], c1, c2
+    )
+    # zero derivatives select the point-sampled path for every lane —
+    # statically skip the erf AA transcendentals (bit-exact)
+    if not has_derivs:
+        return plain
+    point_sampled = ((ctx.dudx == 0.0) & (ctx.dvdx == 0.0)) | (
+        (ctx.dudy == 0.0) & (ctx.dvdy == 0.0)
     )
     # erf-based analytic antialiasing
     rate_x = jnp.sqrt(ctx.dudx**2 + ctx.dvdx**2)
@@ -207,32 +214,40 @@ def _checker(row, ctx: EvalCtx):
     return jnp.where(point_sampled[:, None], plain, aa)
 
 
-def _leaf_from_row(ds: DeviceScene, row, ctx: EvalCtx):
+def _leaf_from_row(ds: DeviceScene, row, ctx: EvalCtx, has_derivs=True):
     kinds = ds.meta.tex_kinds_present
     ints = jax.lax.bitcast_convert_type(row[:, 8:16], jnp.int32)
     kind = ints[:, 3]
     out = row[:, 0:4]  # constant path covers CONSTANT (and default)
     if TEX_IMAGE in kinds:
         out = jnp.where(
-            (kind == TEX_IMAGE)[:, None], _sample_image(ds, row, ints, ctx),
+            (kind == TEX_IMAGE)[:, None],
+            _sample_image(ds, row, ints, ctx, has_derivs),
             out,
         )
     if TEX_CHECKER in kinds:
         out = jnp.where(
-            (kind == TEX_CHECKER)[:, None], _checker(row, ctx), out
+            (kind == TEX_CHECKER)[:, None], _checker(row, ctx, has_derivs), out
         )
     return out
 
 
-def _eval_leaf(ds: DeviceScene, tid, ctx: EvalCtx):
-    return _leaf_from_row(ds, ds.tex_pack[tid], ctx)
+def _eval_leaf(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True):
+    return _leaf_from_row(ds, ds.tex_pack[tid], ctx, has_derivs)
 
 
-def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx):
-    """Evaluate texture ids (B,) at ctx -> (B, 4)."""
+def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True):
+    """Evaluate texture ids (B,) at ctx -> (B, 4).
+
+    has_derivs is a STATIC flag: False promises every ctx derivative is
+    zero (secondary bounces, light/env lookups), which lets the trilinear
+    mip taps and checker erf AA be skipped at trace time — both paths
+    already degenerate to the bilinear/plain result when the footprint is
+    zero, so the skip is bit-exact.
+    """
     tid = jnp.maximum(tid, 0)
     row = ds.tex_pack[tid]  # one wide gather
-    out = _leaf_from_row(ds, row, ctx)
+    out = _leaf_from_row(ds, row, ctx, has_derivs)
     kinds = ds.meta.tex_kinds_present
     if TEX_SCALE in kinds or TEX_MIX in kinds:
         ints = jax.lax.bitcast_convert_type(row[:, 8:16], jnp.int32)
@@ -240,12 +255,12 @@ def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx):
         # slot 0 holds a mip level for IMAGE rows — clamp into table range
         # (the scale/mix selects mask those lanes out)
         hi = ds.tex_pack.shape[0] - 1
-        a = _eval_leaf(ds, jnp.clip(ints[:, 0], 0, hi), ctx)
-        b = _eval_leaf(ds, jnp.clip(ints[:, 1], 0, hi), ctx)
+        a = _eval_leaf(ds, jnp.clip(ints[:, 0], 0, hi), ctx, has_derivs)
+        b = _eval_leaf(ds, jnp.clip(ints[:, 1], 0, hi), ctx, has_derivs)
         if TEX_SCALE in kinds:
             out = jnp.where((kind == TEX_SCALE)[:, None], a * b, out)
         if TEX_MIX in kinds:
-            c = _eval_leaf(ds, jnp.clip(ints[:, 2], 0, hi), ctx)
+            c = _eval_leaf(ds, jnp.clip(ints[:, 2], 0, hi), ctx, has_derivs)
             out = jnp.where(
                 (kind == TEX_MIX)[:, None], (1.0 - c) * a + c * b, out
             )
