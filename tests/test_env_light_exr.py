@@ -18,7 +18,6 @@ from tpu_raytracing.materials import (
     FilterMode, Image, ImageTexture, TextureSampler, WrapMode,
 )
 from tpu_raytracing.ops.light_sampling import environment_radiance
-from tpu_raytracing.ops.vec import V3
 from tpu_raytracing.scene import SceneBuilder
 from tpu_raytracing.scene.camera import Camera
 from tpu_raytracing.utils.exr import write_exr
@@ -84,7 +83,7 @@ def test_exr_roundtrip_radiance(env_scene):
     dirs = np.stack(
         [latlong_dir((x + 0.5) / W, (y + 0.5) / H) for x, y in cases]
     )
-    rad = np.asarray(environment_radiance(ds, V3.from_rows(jnp.asarray(dirs))).rows())
+    rad = np.asarray(environment_radiance(ds, jnp.asarray(dirs)))
     want = np.stack([img[y, x] for x, y in cases])
     np.testing.assert_allclose(rad, want, atol=1e-3)
 

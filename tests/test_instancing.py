@@ -120,10 +120,10 @@ def test_instanced_matches_baked_traversal(pair):
     h_i = hit_details(ds_i, o, d, t_i, p_i)
     h_b = hit_details(ds_b, o, d, t_b, p_b)
     np.testing.assert_allclose(
-        np.asarray(h_i.normal.rows())[both], np.asarray(h_b.normal.rows())[both], atol=1e-4
+        np.asarray(h_i.normal)[both], np.asarray(h_b.normal)[both], atol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(h_i.point.rows())[both], np.asarray(h_b.point.rows())[both], atol=1e-4
+        np.asarray(h_i.point)[both], np.asarray(h_b.point)[both], atol=1e-4
     )
     np.testing.assert_allclose(
         np.asarray(h_i.uv)[both], np.asarray(h_b.uv)[both], atol=1e-4

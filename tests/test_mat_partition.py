@@ -17,7 +17,6 @@ from tpu_raytracing.device.scene_buffers import (
 )
 from tpu_raytracing.ops import bsdf as B
 from tpu_raytracing.ops import bsdf_dispatch as D
-from tpu_raytracing.ops.vec import V3
 
 
 def _mixed_params(rng, n):
@@ -32,16 +31,16 @@ def _mixed_params(rng, n):
     f = lambda *s: jnp.asarray(rng.uniform(0.05, 0.95, s), jnp.float32)
     return B.BsdfParams(
         kind=kind,
-        albedo=V3.from_rows(f(n, 3)),
-        eta=V3.from_rows(jnp.asarray(rng.uniform(1.2, 1.8, (n, 3)), jnp.float32)),
-        kappa=V3.from_rows(f(n, 3)),
+        albedo=f(n, 3),
+        eta=jnp.asarray(rng.uniform(1.2, 1.8, (n, 3)), jnp.float32),
+        kappa=f(n, 3),
         alpha_x=f(n),
         alpha_y=f(n),
         top_kind=top,
         thickness=f(n),
-        coat_albedo=V3.from_rows(jnp.where(
+        coat_albedo=jnp.where(
             jnp.asarray(rng.uniform(size=(n, 1)) < 0.5), f(n, 3), 0.0
-        )),
+        ),
     )
 
 
@@ -49,7 +48,7 @@ def _dirs(rng, n):
     v = rng.normal(size=(n, 3)).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     v[:, 2] = np.abs(v[:, 2]) + 1e-3
-    return V3.from_rows(jnp.asarray(v))
+    return jnp.asarray(v)
 
 
 @pytest.mark.parametrize("n,tile", [(300, 4096), (600, 64), (64, 64)])
@@ -62,9 +61,9 @@ def test_layered_eval_partitioned_matches(monkeypatch, n, tile):
     kinds = (MAT_DIFFUSE, MAT_COATED_DIFFUSE)
 
     monkeypatch.setenv("TPU_RT_MAT_PART", "0")
-    f0 = np.asarray(D.bsdf_eval(params, wo, wi, kinds, active=act).rows())
+    f0 = np.asarray(D.bsdf_eval(params, wo, wi, kinds, active=act))
     monkeypatch.setenv("TPU_RT_MAT_PART", "1")
-    f1 = np.asarray(D.bsdf_eval(params, wo, wi, kinds, active=act).rows())
+    f1 = np.asarray(D.bsdf_eval(params, wo, wi, kinds, active=act))
 
     consumed = np.asarray(act) | (np.asarray(params.kind) != MAT_COATED_DIFFUSE)
     # the tiled walk differs from the full-batch walk by shape-dependent
@@ -91,16 +90,13 @@ def test_layered_sample_partitioned_matches(monkeypatch, n, tile):
     consumed = np.asarray(act) & (np.asarray(params.kind) == MAT_COATED_DIFFUSE)
     # discrete outcomes (branch taken, validity) must agree exactly;
     # float payloads may differ by shape-dependent fusion ULPs
-    def as_np(v):
-        return np.asarray(v.rows() if isinstance(v, V3) else v)
-
     for field in ("component", "valid"):
-        a = as_np(getattr(s0, field))[consumed]
-        b = as_np(getattr(s1, field))[consumed]
+        a = np.asarray(getattr(s0, field))[consumed]
+        b = np.asarray(getattr(s1, field))[consumed]
         np.testing.assert_array_equal(a, b, err_msg=field)
     for field in ("wi", "f", "pdf"):
-        a = as_np(getattr(s0, field))[consumed]
-        b = as_np(getattr(s1, field))[consumed]
+        a = np.asarray(getattr(s0, field))[consumed]
+        b = np.asarray(getattr(s1, field))[consumed]
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7, err_msg=field)
 
 
@@ -112,6 +108,6 @@ def test_no_coated_lanes(monkeypatch):
     params = params._replace(kind=jnp.full(128, MAT_DIFFUSE, jnp.int32))
     wo, wi = _dirs(rng, 128), _dirs(rng, 128)
     f = np.asarray(
-        D._layered_eval_partitioned(params, wo, wi, jnp.ones(128, bool)).rows()
+        D._layered_eval_partitioned(params, wo, wi, jnp.ones(128, bool))
     )
     np.testing.assert_array_equal(f, 0.0)

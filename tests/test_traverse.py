@@ -96,9 +96,9 @@ def test_sphere_hit_normal_and_uv():
     assert bool(hit.hit[0])
     np.testing.assert_allclose(float(hit.t[0]), 2.0, rtol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(hit.normal.rows()[0]), [0, 0, 1], atol=1e-5
+        np.asarray(hit.normal[0]), [0, 0, 1], atol=1e-5
     )
-    np.testing.assert_allclose(np.asarray(hit.point.rows()[0]), [0, 0, -2], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hit.point[0]), [0, 0, -2], atol=1e-5)
 
 
 def test_sphere_uv_off_center_parity():
@@ -122,7 +122,7 @@ def test_sphere_uv_off_center_parity():
     d = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
     hit = intersect_closest(ds, o, d, jnp.full(1, 0.001), jnp.full(1, jnp.inf))
     np.testing.assert_allclose(float(hit.t[0]), 2.0, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(hit.normal.rows()[0]), [0, -1, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hit.normal[0]), [0, -1, 0], atol=1e-5)
     np.testing.assert_allclose(float(hit.uv[0, 0]), 0.75, atol=1e-4)
     np.testing.assert_allclose(float(hit.uv[0, 1]), 0.5, atol=1e-4)
 
@@ -149,7 +149,7 @@ def test_hit_details_interpolated_normals():
     d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
     hit = intersect_closest(ds, o, d, jnp.zeros(1), jnp.full(1, jnp.inf))
     assert bool(hit.hit[0])
-    np.testing.assert_allclose(np.asarray(hit.normal.rows()[0]), [1, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hit.normal[0]), [1, 0, 0], atol=1e-5)
     np.testing.assert_allclose(float(hit.t[0]), 2.5, rtol=1e-5)
     assert int(hit.material[0]) == 0
     assert int(hit.light[0]) == -1

@@ -19,11 +19,6 @@ in device arrays instead of payload registers. Semantics preserved:
 The driver splits the image into fixed-size pixel chunks (static shapes for
 XLA) and runs the sample loop on device; tiles are just array slices — the
 mutex work queue of the CPU backend becomes data parallelism.
-
-All per-lane vectors (rays, radiance, path weights, shading frames) are
-lane-major V3 component triples (ops/vec.py): dense (B,) TPU layouts
-instead of 128-lane-padded (B, 3) rows, which the round-3 profile showed
-burning ~40% of device time in padded elementwise fusions.
 """
 from __future__ import annotations
 
@@ -44,13 +39,12 @@ from ..ops.camera_rays import generate_rays
 from ..ops.light_sampling import (
     environment_radiance, light_emitted_radiance, sample_light,
 )
-from ..ops.linalg import make_orthonormal_basis
+from ..ops.linalg import dot, make_orthonormal_basis
 from ..ops.rng import SamplerConfig, make_stream
 from ..ops.textures import (
     EvalCtx, eval_ctx_from_differentials, eval_texture, texture_mip_level,
 )
 from ..ops.traverse import hit_details, intersect_scene, occluded
-from ..ops.vec import V3
 from ..settings import AovFlags, RaytracerSettings, RenderOutput, SinglePixelOutput
 from ..device.scene_buffers import LIGHT_AREA, LIGHT_DIRECTION, LIGHT_POINT, MAT_COATED_DIFFUSE, MAT_DIFFUSE
 
@@ -94,18 +88,12 @@ class StaticSettings(NamedTuple):
         )
 
 
-def _to_local(x: V3, y: V3, n: V3, v: V3) -> V3:
-    return V3(v.dot(x), v.dot(y), v.dot(n))
+def _to_local(x, y, n, v):
+    return jnp.stack([dot(v, x), dot(v, y), dot(v, n)], axis=-1)
 
 
-def _to_world(x: V3, y: V3, n: V3, v: V3) -> V3:
-    return x * v.x + y * v.y + n * v.z
-
-
-def _stack_cols(*cols):
-    """Pack dense (B,) columns into one (B, C) row matrix (for the single
-    wide permutation gather per bounce)."""
-    return jnp.stack(cols, axis=1)
+def _to_world(x, y, n, v):
+    return v[..., 0:1] * x + v[..., 1:2] * y + v[..., 2:3] * n
 
 
 def trace_radiance(
@@ -116,15 +104,13 @@ def trace_radiance(
     sample_idx,        # scalar or (B,)
     active=None,       # optional (B,) bool: lanes to trace (padding mask)
 ):
-    """Estimate radiance for one sample of each pixel (ray_radiance semantics).
-
-    Returns ((B, 3) radiance rows, ray count)."""
+    """Estimate radiance for one sample of each pixel (ray_radiance semantics)."""
     stream = make_stream(px, py, sample_idx)
     ray_o, ray_d, diff, stream = generate_rays(
         ds, px, py, cfg, stream, st.samples_per_pixel, jitter=True
     )
     B_ = px.shape[0]
-    f32 = ray_o.x.dtype
+    f32 = ray_o.dtype
     kinds = ds.meta.mat_kinds_present
 
     # once-per-bounce path-state coherence sort (default ON with the
@@ -150,8 +136,8 @@ def trace_radiance(
         ray_d=ray_d,
         alive=jnp.ones(B_, bool) if active is None else active,
         specular=jnp.ones(B_, bool),
-        radiance=V3.zeros((B_,), f32),
-        path_weight=V3.full((B_,), 1.0, f32),
+        radiance=jnp.zeros((B_, 3), f32),
+        path_weight=jnp.ones((B_, 3), f32),
         stream=stream,
         rays=jnp.zeros((), jnp.int32),
         src=jnp.arange(B_, dtype=jnp.int32),
@@ -198,8 +184,8 @@ def trace_radiance(
         hit_mask = prim >= 0
         miss = alive & ~hit_mask
         if ds.meta.has_env:
-            radiance = radiance + V3.where(
-                miss, pw * environment_radiance(ds, ray_d), 0.0
+            radiance = radiance + jnp.where(
+                miss[:, None], pw * environment_radiance(ds, ray_d), 0.0
             )
         alive = alive & hit_mask
 
@@ -207,12 +193,12 @@ def trace_radiance(
 
         add_zero_bounce = st.accumulate_bounces | (st.max_ray_depth == depth)
         emit_mask = alive & specular & add_zero_bounce & (hit.light >= 0)
-        radiance = radiance + V3.where(
-            emit_mask, pw * light_emitted_radiance(ds, hit.light), 0.0
+        radiance = radiance + jnp.where(
+            emit_mask[:, None], pw * light_emitted_radiance(ds, hit.light), 0.0
         )
 
         # material evaluation context (antialiased on primary hits)
-        plain_ctx = EvalCtx.without_antialiasing(hit.u, hit.v)
+        plain_ctx = EvalCtx.without_antialiasing(hit.uv)
         has_derivs = st.antialias_primary_rays and static_primary is not False
         if has_derivs:
             aa_ctx = eval_ctx_from_differentials(hit, ray_o, ray_d, diff)
@@ -222,8 +208,7 @@ def trace_radiance(
                 return jnp.where(use_aa, a, b)
 
             ctx = EvalCtx(
-                u=hit.u,
-                v=hit.v,
+                uv=hit.uv,
                 dudx=sel(aa_ctx.dudx, plain_ctx.dudx),
                 dudy=sel(aa_ctx.dudy, plain_ctx.dudy),
                 dvdx=sel(aa_ctx.dvdx, plain_ctx.dvdx),
@@ -245,10 +230,10 @@ def trace_radiance(
         add_direct = st.accumulate_bounces | (depth == st.max_ray_depth)
         nee_mask = alive & ~delta & add_direct
 
-        direct = V3.zeros((B_,), f32)
+        direct = jnp.zeros((B_, 3), f32)
         for li, lk in enumerate(ds.meta.light_kinds):
             n_s = 1 if lk in (LIGHT_POINT, LIGHT_DIRECTION) else st.light_sample_count
-            contrib = V3.zeros((B_,), f32)
+            contrib = jnp.zeros((B_, 3), f32)
             rays = rays + n_s * jnp.sum(nee_mask.astype(jnp.int32))
             for _ in range(n_s):
                 ls, stream = sample_light(ds, li, hit.point, cfg, stream)
@@ -262,10 +247,10 @@ def trace_radiance(
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
                 good = nee_mask & ~occ & (ls.pdf > 0.0)
                 f = bsdf_eval(params, wo, wi, kinds, active=good)
-                cos_theta = jnp.maximum(wi.z, 0.0)
+                cos_theta = jnp.maximum(wi[..., 2], 0.0)
                 safe_pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
-                c = f * ls.radiance * (cos_theta / safe_pdf)
-                contrib = contrib + V3.where(good, c, 0.0)
+                c = f * ls.radiance * (cos_theta / safe_pdf)[:, None]
+                contrib = contrib + jnp.where(good[:, None], c, 0.0)
             direct = direct + contrib / n_s
         radiance = radiance + pw * direct
 
@@ -277,18 +262,18 @@ def trace_radiance(
         ok = (
             samp.valid
             & (samp.pdf > 0.0)
-            & samp.f.any_nonzero()
+            & jnp.any(samp.f != 0.0, axis=-1)
         )
         alive = alive & ok
-        cos_theta = jnp.abs(samp.wi.z)
+        cos_theta = jnp.abs(samp.wi[..., 2])
         safe_pdf = jnp.where(samp.pdf == 0.0, 1.0, samp.pdf)
-        pw = V3.where(
-            alive, pw * samp.f * (cos_theta / safe_pdf), pw
+        pw = jnp.where(
+            alive[:, None], pw * samp.f * (cos_theta / safe_pdf)[:, None], pw
         )
         specular = jnp.where(alive, (samp.component & B.SPECULAR) != 0, specular)
         new_d = _to_world(bx, by, hit.normal, samp.wi)
-        ray_o = V3.where(alive, hit.point, ray_o)
-        ray_d = V3.where(alive, new_d, ray_d)
+        ray_o = jnp.where(alive[:, None], hit.point, ray_o)
+        ray_d = jnp.where(alive[:, None], new_d, ray_d)
 
         src = s["src"]
         if sort_bounces:
@@ -304,27 +289,26 @@ def trace_radiance(
             key = key | ((~alive).astype(jnp.int32) << 25)
             iota = jnp.arange(B_, dtype=jnp.int32)
             _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
-            pk = _stack_cols(
-                ray_o.x, ray_o.y, ray_o.z,
-                ray_d.x, ray_d.y, ray_d.z,
-                radiance.x, radiance.y, radiance.z,
-                pw.x, pw.y, pw.z,
-                alive.astype(f32),
-                specular.astype(f32),
+            pk = jnp.concatenate(
+                [
+                    ray_o, ray_d, radiance, pw,
+                    alive.astype(f32)[:, None],
+                    specular.astype(f32)[:, None],
+                ],
+                axis=1,
             )[order]
             # int lanes stay in the INTEGER domain across the permutation
             # (the TPU canonicalizes NaN/denormal f32 bit patterns)
             u32 = jnp.uint32
             ib = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
-                a, jnp.int32)
-            pk_i = _stack_cols(
-                ib(stream.px), ib(stream.py), ib(stream.sample),
-                ib(stream.dim), src,
+                a, jnp.int32)[:, None]
+            pk_i = jnp.concatenate(
+                [ib(stream.px), ib(stream.py), ib(stream.sample),
+                 ib(stream.dim), src[:, None]],
+                axis=1,
             )[order]
-            ray_o = V3(pk[:, 0], pk[:, 1], pk[:, 2])
-            ray_d = V3(pk[:, 3], pk[:, 4], pk[:, 5])
-            radiance = V3(pk[:, 6], pk[:, 7], pk[:, 8])
-            pw = V3(pk[:, 9], pk[:, 10], pk[:, 11])
+            ray_o, ray_d = pk[:, 0:3], pk[:, 3:6]
+            radiance, pw = pk[:, 6:9], pk[:, 9:12]
             alive = pk[:, 12] > 0
             specular = pk[:, 13] > 0
             reu = lambda c: jax.lax.bitcast_convert_type(  # noqa: E731
@@ -354,7 +338,7 @@ def trace_radiance(
     out = jax.lax.while_loop(
         cond, lambda s: body(s, static_primary=False), state
     )
-    radiance = out["radiance"].rows()
+    radiance = out["radiance"]
     if sort_bounces:
         iota = jnp.arange(B_, dtype=jnp.int32)
         _, inv = jax.lax.sort_key_val(out["src"], iota, is_stable=True)
@@ -393,7 +377,7 @@ def trace_radiance_spp(
     ray_o, ray_d, diff, stream = generate_rays(
         ds, px, py, cfg, stream, st.samples_per_pixel, jitter=True
     )
-    f32 = ray_o.x.dtype
+    f32 = ray_o.dtype
     kinds = ds.meta.mat_kinds_present
     act0_in = jnp.ones(B_, bool) if active is None else active
 
@@ -421,9 +405,9 @@ def trace_radiance_spp(
         act0=act0_in,
         alive=act0_in & (n_spp > 0),
         specular=jnp.ones(B_, bool),
-        path_rad=V3.zeros((B_,), f32),
-        acc=V3.zeros((B_,), f32),
-        path_weight=V3.full((B_,), 1.0, f32),
+        path_rad=jnp.zeros((B_, 3), f32),
+        acc=jnp.zeros((B_, 3), f32),
+        path_weight=jnp.ones((B_, 3), f32),
         stream=stream,
         rays=jnp.zeros((), jnp.int32),
         src=jnp.arange(B_, dtype=jnp.int32),
@@ -455,8 +439,8 @@ def trace_radiance_spp(
         hit_mask = prim >= 0
         miss = alive & ~hit_mask
         if ds.meta.has_env:
-            path_rad = path_rad + V3.where(
-                miss, pw * environment_radiance(ds, ray_d), 0.0
+            path_rad = path_rad + jnp.where(
+                miss[:, None], pw * environment_radiance(ds, ray_d), 0.0
             )
         alive = alive & hit_mask
 
@@ -464,11 +448,11 @@ def trace_radiance_spp(
 
         add_zero_bounce = st.accumulate_bounces | (st.max_ray_depth == depth)
         emit_mask = alive & specular & add_zero_bounce & (hit.light >= 0)
-        path_rad = path_rad + V3.where(
-            emit_mask, pw * light_emitted_radiance(ds, hit.light), 0.0
+        path_rad = path_rad + jnp.where(
+            emit_mask[:, None], pw * light_emitted_radiance(ds, hit.light), 0.0
         )
 
-        plain_ctx = EvalCtx.without_antialiasing(hit.u, hit.v)
+        plain_ctx = EvalCtx.without_antialiasing(hit.uv)
         if st.antialias_primary_rays:
             aa_ctx = eval_ctx_from_differentials(hit, ray_o, ray_d, diff)
             use_aa = primary & alive
@@ -477,8 +461,7 @@ def trace_radiance_spp(
                 return jnp.where(use_aa, a, b)
 
             ctx = EvalCtx(
-                u=hit.u,
-                v=hit.v,
+                uv=hit.uv,
                 dudx=sel(aa_ctx.dudx, plain_ctx.dudx),
                 dudy=sel(aa_ctx.dudy, plain_ctx.dudy),
                 dvdx=sel(aa_ctx.dvdx, plain_ctx.dvdx),
@@ -503,10 +486,10 @@ def trace_radiance_spp(
         add_direct = st.accumulate_bounces | (depth == st.max_ray_depth)
         nee_mask = alive & ~delta & add_direct
 
-        direct = V3.zeros((B_,), f32)
+        direct = jnp.zeros((B_, 3), f32)
         for li, lk in enumerate(ds.meta.light_kinds):
             n_s = 1 if lk in (LIGHT_POINT, LIGHT_DIRECTION) else st.light_sample_count
-            contrib = V3.zeros((B_,), f32)
+            contrib = jnp.zeros((B_, 3), f32)
             rays = rays + n_s * jnp.sum(nee_mask.astype(jnp.int32))
             for _ in range(n_s):
                 ls, stream = sample_light(ds, li, hit.point, cfg, stream)
@@ -520,10 +503,10 @@ def trace_radiance_spp(
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
                 good = nee_mask & ~occ & (ls.pdf > 0.0)
                 f = bsdf_eval(params, wo, wi, kinds, active=good)
-                cos_theta = jnp.maximum(wi.z, 0.0)
+                cos_theta = jnp.maximum(wi[..., 2], 0.0)
                 safe_pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
-                c = f * ls.radiance * (cos_theta / safe_pdf)
-                contrib = contrib + V3.where(good, c, 0.0)
+                c = f * ls.radiance * (cos_theta / safe_pdf)[:, None]
+                contrib = contrib + jnp.where(good[:, None], c, 0.0)
             direct = direct + contrib / n_s
         path_rad = path_rad + pw * direct
 
@@ -534,24 +517,24 @@ def trace_radiance_spp(
         ok = (
             samp.valid
             & (samp.pdf > 0.0)
-            & samp.f.any_nonzero()
+            & jnp.any(samp.f != 0.0, axis=-1)
         )
         alive = alive & ok
-        cos_theta = jnp.abs(samp.wi.z)
+        cos_theta = jnp.abs(samp.wi[..., 2])
         safe_pdf = jnp.where(samp.pdf == 0.0, 1.0, samp.pdf)
-        pw = V3.where(
-            alive, pw * samp.f * (cos_theta / safe_pdf), pw
+        pw = jnp.where(
+            alive[:, None], pw * samp.f * (cos_theta / safe_pdf)[:, None], pw
         )
         specular = jnp.where(alive, (samp.component & B.SPECULAR) != 0, specular)
         new_d = _to_world(bx, by, hit.normal, samp.wi)
-        ray_o = V3.where(alive, hit.point, ray_o)
-        ray_d = V3.where(alive, new_d, ray_d)
+        ray_o = jnp.where(alive[:, None], hit.point, ray_o)
+        ray_d = jnp.where(alive[:, None], new_d, ray_d)
 
         # ---- path regeneration: finished lanes bank their estimate and
         # start the pixel's next sample in place
         was = s["alive"]
         done = was & ~alive
-        acc = acc + V3.where(done, path_rad, 0.0)
+        acc = acc + jnp.where(done[:, None], path_rad, 0.0)
         next_i = sample_i + 1
         has_more = next_i < jnp.uint32(spp_base + n_spp)
         regen = done & has_more & act0
@@ -564,13 +547,12 @@ def trace_radiance_spp(
             jitter=True,
         )
         sample_i = jnp.where(done, next_i, sample_i)
-        ray_o = V3.where(regen, n_o, ray_o)
-        ray_d = V3.where(regen, n_d, ray_d)
-        diff = tuple(
-            V3.where(regen, nd, od) for nd, od in zip(n_diff, diff)
-        )
-        path_rad = V3.where(regen, 0.0, path_rad)
-        pw = V3.where(regen, 1.0, pw)
+        sel_l = regen[:, None]
+        ray_o = jnp.where(sel_l, n_o, ray_o)
+        ray_d = jnp.where(sel_l, n_d, ray_d)
+        diff = jnp.where(regen[:, None, None], n_diff, diff)
+        path_rad = jnp.where(sel_l, 0.0, path_rad)
+        pw = jnp.where(sel_l, 1.0, pw)
         specular = jnp.where(regen, True, specular)
         depth = jnp.where(regen, 0, depth)
         alive = alive | regen
@@ -589,40 +571,30 @@ def trace_radiance_spp(
             key = key | ((~alive).astype(jnp.int32) << 25)
             iota = jnp.arange(B_, dtype=jnp.int32)
             _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
-            dxo, dyo, dxd, dyd = diff
-            pk = _stack_cols(
-                ray_o.x, ray_o.y, ray_o.z,
-                ray_d.x, ray_d.y, ray_d.z,
-                path_rad.x, path_rad.y, path_rad.z,
-                pw.x, pw.y, pw.z,
-                acc.x, acc.y, acc.z,
-                dxo.x, dxo.y, dxo.z, dyo.x, dyo.y, dyo.z,
-                dxd.x, dxd.y, dxd.z, dyd.x, dyd.y, dyd.z,
-                alive.astype(f32),
-                specular.astype(f32),
+            pk = jnp.concatenate(
+                [
+                    ray_o, ray_d, path_rad, pw, acc,
+                    diff.reshape(B_, 12),
+                    alive.astype(f32)[:, None],
+                    specular.astype(f32)[:, None],
+                ],
+                axis=1,
             )[order]
             # int lanes stay in the INTEGER domain across the permutation
             # (the TPU canonicalizes NaN/denormal f32 bit patterns)
             u32 = jnp.uint32
             ib = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
-                a, jnp.int32)
-            pk_i = _stack_cols(
-                ib(stream.px), ib(stream.py), ib(stream.sample),
-                ib(stream.dim), ib(sample_i), depth,
-                lane_px, lane_py,
-                act0.astype(jnp.int32), src,
+                a, jnp.int32)[:, None]
+            pk_i = jnp.concatenate(
+                [ib(stream.px), ib(stream.py), ib(stream.sample),
+                 ib(stream.dim), ib(sample_i), depth[:, None],
+                 lane_px[:, None], lane_py[:, None],
+                 act0.astype(jnp.int32)[:, None], src[:, None]],
+                axis=1,
             )[order]
-            ray_o = V3(pk[:, 0], pk[:, 1], pk[:, 2])
-            ray_d = V3(pk[:, 3], pk[:, 4], pk[:, 5])
-            path_rad = V3(pk[:, 6], pk[:, 7], pk[:, 8])
-            pw = V3(pk[:, 9], pk[:, 10], pk[:, 11])
-            acc = V3(pk[:, 12], pk[:, 13], pk[:, 14])
-            diff = (
-                V3(pk[:, 15], pk[:, 16], pk[:, 17]),
-                V3(pk[:, 18], pk[:, 19], pk[:, 20]),
-                V3(pk[:, 21], pk[:, 22], pk[:, 23]),
-                V3(pk[:, 24], pk[:, 25], pk[:, 26]),
-            )
+            ray_o, ray_d = pk[:, 0:3], pk[:, 3:6]
+            path_rad, pw, acc = pk[:, 6:9], pk[:, 9:12], pk[:, 12:15]
+            diff = pk[:, 15:27].reshape(B_, 4, 3)
             alive = pk[:, 27] > 0
             specular = pk[:, 28] > 0
             reu = lambda c: jax.lax.bitcast_convert_type(  # noqa: E731
@@ -656,7 +628,7 @@ def trace_radiance_spp(
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    acc = out["acc"].rows()
+    acc = out["acc"]
     if sort_bounces:
         iota = jnp.arange(B_, dtype=jnp.int32)
         _, inv = jax.lax.sort_key_val(out["src"], iota, is_stable=True)
@@ -711,14 +683,13 @@ def _aov_hit_chunk(ds: DeviceScene, cfg, st: StaticSettings, px, py):
     hit = hit_details(ds, ray_o, ray_d, t, prim)
     ctx = eval_ctx_from_differentials(hit, ray_o, ray_d, diff)
     ctx = EvalCtx(
-        u=hit.u,
-        v=hit.v,
+        uv=hit.uv,
         dudx=jnp.where(hit.hit, ctx.dudx, 0.0),
         dudy=jnp.where(hit.hit, ctx.dudy, 0.0),
         dvdx=jnp.where(hit.hit, ctx.dvdx, 0.0),
         dvdy=jnp.where(hit.hit, ctx.dvdy, 0.0),
     )
-    normals = jnp.where(hit.hit[:, None], hit.normal.rows(), 0.0)
+    normals = jnp.where(hit.hit[:, None], hit.normal, 0.0)
     uv = jnp.where(hit.hit[:, None], hit.uv, 0.0)
     return normals, uv, hit.hit, hit.material, ctx
 
@@ -735,8 +706,7 @@ def _aov_tex_chunk(ds: DeviceScene, aovs: tuple, hit_mask, material,
     if "a" in aovs:
         # albedo: diffuse/coated sample their albedo texture, others are
         # white (materials.rs get_albedo)
-        ar, ag, ab, _ = eval_texture(ds, albedo_tex, ctx)
-        sampled = jnp.stack([ar, ag, ab], axis=-1)
+        sampled = eval_texture(ds, albedo_tex, ctx)[:, :3]
         has_albedo = (kind == MAT_DIFFUSE) | (kind == MAT_COATED_DIFFUSE)
         albedo = jnp.where(has_albedo[:, None], sampled, 1.0)
         albedo = jnp.where(hit_mask[:, None], albedo, 0.0)
@@ -993,7 +963,7 @@ def render_single_pixel(
                 sample_index=s,
                 hit=bool(hit.hit[0]),
                 uv=np.asarray(hit.uv[0]),
-                normal=np.asarray(hit.normal.rows()[0]),
+                normal=np.asarray(hit.normal[0]),
                 radiance=radiance,
             )
         )

@@ -13,9 +13,6 @@ Conventions (identical to the reference):
   (PBRT 4ed 9.6), dielectric uses the generalized half-vector (9.7)
 - rough surfaces fall back to the smooth BSDF below MINIMUM_ROUGHNESS
 - pdfs of delta BSDFs are "1 against the implied delta"
-
-Directions and colors are lane-major V3 component triples (ops/vec.py) —
-dense 1-D TPU layouts instead of 128-lane-padded (B, 3) rows.
 """
 from __future__ import annotations
 
@@ -29,9 +26,9 @@ from ..device.scene_buffers import (
     MAT_ROUGH_DIELECTRIC, MAT_SMOOTH_CONDUCTOR, MAT_SMOOTH_DIELECTRIC,
 )
 from .complexmath import fresnel_complex
-from .rng import sample_unit_disk_c
+from .linalg import dot, normalize
+from .rng import sample_unit_disk
 from .textures import EvalCtx, eval_texture
-from .vec import V3
 
 MINIMUM_ROUGHNESS = 1.0e-3
 
@@ -54,19 +51,19 @@ class BsdfParams(NamedTuple):
     counterpart below MINIMUM_ROUGHNESS, materials.rs:884-908)."""
 
     kind: jax.Array       # (B,) i32
-    albedo: V3            # diffuse / layered-bottom albedo
-    eta: V3               # ior (dielectric uses .x)
-    kappa: V3
+    albedo: jax.Array     # (B, 3) diffuse / layered-bottom albedo
+    eta: jax.Array        # (B, 3) ior (dielectric uses [...,0])
+    kappa: jax.Array      # (B, 3)
     alpha_x: jax.Array    # (B,)
     alpha_y: jax.Array    # (B,)
     top_kind: jax.Array   # (B,) layered top (smooth/rough dielectric)
     thickness: jax.Array  # (B,)
-    coat_albedo: V3
+    coat_albedo: jax.Array  # (B, 3)
 
 
 class BsdfSample(NamedTuple):
-    wi: V3
-    f: V3
+    wi: jax.Array         # (B, 3)
+    f: jax.Array          # (B, 3)
     pdf: jax.Array        # (B,)
     component: jax.Array  # (B,) i32 flags (single bit)
     valid: jax.Array      # (B,) bool: usable sample (not null/invalid)
@@ -90,17 +87,15 @@ def get_bsdf_params(
     has_rough_tex = tex[:, 2] >= 0
 
     is_layered = kind == MAT_COATED_DIFFUSE
-    albedo = V3(t0[0], t0[1], t0[2])
-    eta = V3.where(is_layered, V3(t1[0], t1[1], t1[2]), albedo)
-    kappa = V3(t1[0], t1[1], t1[2])
+    albedo = t0[:, :3]
+    eta = jnp.where(is_layered[:, None], t1[:, :3], t0[:, :3])
+    kappa = t1[:, :3]
 
-    def remapped(a):
-        a = jnp.where(remap, jnp.sqrt(jnp.maximum(a, 0.0)), a)
-        # materials with an unset roughness slot are perfectly smooth
-        return jnp.where(has_rough_tex, a, 0.0)
-
-    alpha_x = remapped(t2[0])
-    alpha_y = remapped(t2[1])
+    alpha = t2[:, :2]
+    alpha = jnp.where(remap[:, None], jnp.sqrt(jnp.maximum(alpha, 0.0)), alpha)
+    # materials with an unset roughness slot are perfectly smooth
+    alpha = jnp.where(has_rough_tex[:, None], alpha, 0.0)
+    alpha_x, alpha_y = alpha[:, 0], alpha[:, 1]
     too_smooth = jnp.maximum(alpha_x, alpha_y) < MINIMUM_ROUGHNESS
 
     effective = kind
@@ -115,12 +110,11 @@ def get_bsdf_params(
     ).astype(jnp.int32)
 
     if MAT_COATED_DIFFUSE in ds.meta.mat_kinds_present:
-        thickness = eval_texture(ds, tex[:, 3], ctx, has_derivs)[0]
-        t4 = eval_texture(ds, tex[:, 4], ctx, has_derivs)
-        coat_albedo = V3(t4[0], t4[1], t4[2])
+        thickness = eval_texture(ds, tex[:, 3], ctx, has_derivs)[:, 0]
+        coat_albedo = eval_texture(ds, tex[:, 4], ctx, has_derivs)[:, :3]
     else:
         thickness = jnp.zeros_like(alpha_x)
-        coat_albedo = V3.zeros(alpha_x.shape, alpha_x.dtype)
+        coat_albedo = jnp.zeros_like(albedo)
 
     # clamp alphas so rough-path math stays finite on lanes that use the
     # smooth fallback (their results are masked out anyway)
@@ -167,8 +161,8 @@ def bsdf_components(params: BsdfParams):
 
 # ------------------------------------------------------------ scalar pieces
 
-def reflect_z(wo: V3, n: V3) -> V3:
-    return n * (2.0 * wo.dot(n)) - wo
+def reflect_z(wo, n):
+    return 2.0 * dot(wo, n)[..., None] * n - wo
 
 
 def fresnel_dielectric(cos_theta_i, eta):
@@ -186,32 +180,34 @@ def fresnel_dielectric(cos_theta_i, eta):
     return jnp.where(tir, 1.0, r)
 
 
-def fresnel_complex_rgb(cos_theta, eta3: V3, kappa3: V3) -> V3:
-    return V3(
-        fresnel_complex(cos_theta, eta3.x, kappa3.x),
-        fresnel_complex(cos_theta, eta3.y, kappa3.y),
-        fresnel_complex(cos_theta, eta3.z, kappa3.z),
+def fresnel_complex_rgb(cos_theta, eta3, kappa3):
+    return jnp.stack(
+        [
+            fresnel_complex(cos_theta, eta3[..., i], kappa3[..., i])
+            for i in range(3)
+        ],
+        axis=-1,
     )
 
 
-def refract(eta, wo: V3, normal: V3):
+def refract(eta, wo, normal):
     """(materials.rs:992-1009). Returns (wi, tir_mask)."""
-    cos_i = wo.dot(normal)
+    cos_i = dot(wo, normal)
     flip = cos_i < 0.0
     eta = jnp.where(flip, 1.0 / eta, eta)
     cos_i = jnp.abs(cos_i)
-    normal = V3.where(flip, -normal, normal)
+    normal = jnp.where(flip[..., None], -normal, normal)
     sin2_i = 1.0 - cos_i * cos_i
     sin2_t = sin2_i / (eta * eta)
     tir = sin2_t >= 1.0
     cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-    wi = -wo / eta + normal * (cos_i / eta - cos_t)
+    wi = -wo / eta[..., None] + (cos_i / eta - cos_t)[..., None] * normal
     return wi, tir
 
 
 # ------------------------------------------------------------ microfacet
 
-def tr_distribution(wm: V3, ax, ay):
+def tr_distribution(wm, ax, ay):
     """Anisotropic Trowbridge-Reitz D in its compact form
     D = 1 / (pi ax ay ((x/ax)^2 + (y/ay)^2 + z^2)^2)  (PBRT 4ed 9.16).
 
@@ -220,16 +216,16 @@ def tr_distribution(wm: V3, ax, ay):
     relative to PBRT; we use the correct form (self-consistent with the VNDF
     sampler below, and we bless snapshots against our own output).
     """
-    q = (wm.x / ax) ** 2 + (wm.y / ay) ** 2 + wm.z ** 2
+    q = (wm[..., 0] / ax) ** 2 + (wm[..., 1] / ay) ** 2 + wm[..., 2] ** 2
     safe_q = jnp.where(q == 0.0, 1.0, q)
     d = 1.0 / (jnp.pi * ax * ay * safe_q * safe_q)
     return jnp.where(q == 0.0, 0.0, d)
 
 
-def tr_lambda(w: V3, ax, ay):
+def tr_lambda(w, ax, ay):
     """Smith Lambda: ( sqrt(1 + ((ax x)^2 + (ay y)^2) / z^2) - 1 ) / 2."""
-    z2 = w.z ** 2
-    a2 = (ax * w.x) ** 2 + (ay * w.y) ** 2
+    z2 = w[..., 2] ** 2
+    a2 = (ax * w[..., 0]) ** 2 + (ay * w[..., 1]) ** 2
     safe_z2 = jnp.where(z2 == 0.0, 1.0, z2)
     lam = (jnp.sqrt(1.0 + a2 / safe_z2) - 1.0) * 0.5
     return jnp.where(z2 == 0.0, 1e8, lam)
@@ -243,71 +239,79 @@ def tr_g(wo, wi, ax, ay):
     return 1.0 / (1.0 + tr_lambda(wo, ax, ay) + tr_lambda(wi, ax, ay))
 
 
-def tr_visible_distribution(w: V3, wm: V3, ax, ay):
-    cos_theta = jnp.abs(w.z)
+def tr_visible_distribution(w, wm, ax, ay):
+    cos_theta = jnp.abs(w[..., 2])
     safe = jnp.where(cos_theta == 0.0, 1.0, cos_theta)
     return (
         (tr_g1(w, ax, ay) / safe)
         * tr_distribution(wm, ax, ay)
-        * jnp.abs(w.dot(wm))
+        * jnp.abs(dot(w, wm))
     )
 
 
-def tr_sample_wm(w: V3, ax, ay, u0, u1) -> V3:
+def tr_sample_wm(w, ax, ay, u):
     """VNDF sampling (materials.rs:1125-1165 / PBRT 4ed 9.6.4)."""
-    wh = V3(ax * w.x, ay * w.y, w.z).normalize()
-    wh = V3.where(wh.z < 0.0, -wh, wh)
-    px_d, py_d = sample_unit_disk_c(u0, u1)
-    zero = jnp.zeros_like(w.x)
-    one = jnp.ones_like(w.x)
-    z_axis = V3(zero, zero, one)
-    x_axis = V3(one, zero, zero)
-    t1 = V3.where(wh.z < 0.9999, z_axis.cross(wh), x_axis)
-    t2 = wh.cross(t1)
-    h = jnp.sqrt(jnp.maximum(1.0 - px_d ** 2, 0.0))
-    offset = 0.5 * h * (1.0 - wh.z)
-    scale = 0.5 * (1.0 + wh.z)
-    py = offset + scale * py_d
-    px = px_d
+    wh = normalize(
+        jnp.stack([ax * w[..., 0], ay * w[..., 1], w[..., 2]], axis=-1)
+    )
+    wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
+    p = sample_unit_disk(u)
+    z_axis = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], w.dtype), w.shape)
+    x_axis = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], w.dtype), w.shape)
+    t1 = jnp.where(
+        (wh[..., 2] < 0.9999)[..., None], jnp.cross(z_axis, wh), x_axis
+    )
+    t2 = jnp.cross(wh, t1)
+    h = jnp.sqrt(jnp.maximum(1.0 - p[..., 0] ** 2, 0.0))
+    offset = 0.5 * h * (1.0 - wh[..., 2])
+    scale = 0.5 * (1.0 + wh[..., 2])
+    py = offset + scale * p[..., 1]
+    px = p[..., 0]
     pz = jnp.sqrt(jnp.maximum(1.0 - px * px - py * py, 0.0))
-    nh = t1 * px + t2 * py + wh * pz
-    wm = V3(ax * nh.x, ay * nh.y, jnp.maximum(nh.z, 1.0e-6))
-    return wm.normalize()
+    nh = px[..., None] * t1 + py[..., None] * t2 + pz[..., None] * wh
+    wm = jnp.stack(
+        [
+            ax * nh[..., 0],
+            ay * nh[..., 1],
+            jnp.maximum(nh[..., 2], 1.0e-6),
+        ],
+        axis=-1,
+    )
+    return normalize(wm)
 
 
 # ---------------------------------------------------------------- diffuse
 
-def diffuse_eval(albedo: V3, wo: V3, wi: V3) -> V3:
-    same_side = wo.z * wi.z >= 0.0
-    return V3.where(same_side, albedo / jnp.pi, V3.const(0.0, 0.0, 0.0))
+def diffuse_eval(albedo, wo, wi):
+    same_side = wo[..., 2] * wi[..., 2] >= 0.0
+    return jnp.where(same_side[..., None], albedo / jnp.pi, 0.0)
 
 
 def diffuse_pdf(wo, wi, allowed):
     ok = (allowed & NONSPECULAR_REFLECTION) != 0
-    same_side = wo.z * wi.z > 0.0
+    same_side = wo[..., 2] * wi[..., 2] > 0.0
     return jnp.where(ok & same_side, 1.0 / (2.0 * jnp.pi), 0.0)
 
 
-def diffuse_sample(albedo: V3, wo: V3, u0, u1) -> BsdfSample:
-    from .rng import sample_cosine_hemisphere_c
+def diffuse_sample(albedo, wo, u2) -> BsdfSample:
+    from .rng import sample_cosine_hemisphere
 
-    wx, wy, wz = sample_cosine_hemisphere_c(u0, u1)
-    wi = V3(wx, wy, wz)
-    pdf = wz / jnp.pi
+    wi = sample_cosine_hemisphere(u2)
+    pdf = wi[..., 2] / jnp.pi
     return BsdfSample(
         wi=wi,
         f=albedo / jnp.pi,
         pdf=pdf,
-        component=jnp.full(wo.x.shape, NONSPECULAR_REFLECTION, jnp.int32),
+        component=jnp.full(wo.shape[:-1], NONSPECULAR_REFLECTION, jnp.int32),
         valid=pdf > 0.0,
     )
 
 
 # ------------------------------------------------------------ smooth kinds
 
-def smooth_dielectric_sample(eta, wo: V3, u1, allowed) -> BsdfSample:
+def smooth_dielectric_sample(eta, wo, u1, allowed) -> BsdfSample:
     """(materials.rs:398-486)."""
-    R = fresnel_dielectric(wo.z, eta)
+    R = fresnel_dielectric(wo[..., 2], eta)
     T = 1.0 - R
     p_reflect = jnp.where((allowed & SPECULAR_REFLECTION) != 0, R, 0.0)
     p_transmit = jnp.where((allowed & SPECULAR_TRANSMISSION) != 0, T, 0.0)
@@ -316,23 +320,22 @@ def smooth_dielectric_sample(eta, wo: V3, u1, allowed) -> BsdfSample:
     choose_reflect = u1 * safe_total < p_reflect
 
     # reflection branch
-    wi_r = V3(-wo.x, -wo.y, wo.z)
-    cos_r = jnp.abs(wi_r.z)
+    wi_r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    cos_r = jnp.abs(wi_r[..., 2])
     safe_cos_r = jnp.where(cos_r == 0.0, 1.0, cos_r)
     f_r = R / safe_cos_r
     pdf_r = R / safe_total
 
     # transmission branch
-    zero = jnp.zeros_like(wo.x)
-    normal = V3(zero, zero, jnp.ones_like(wo.x))
+    normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], wo.dtype), wo.shape)
     wi_t, tir = refract(eta, wo, normal)
-    eta_corr = jnp.where(wo.z < 0.0, 1.0 / eta, eta)
-    cos_t = jnp.abs(wi_t.z)
+    eta_corr = jnp.where(wo[..., 2] < 0.0, 1.0 / eta, eta)
+    cos_t = jnp.abs(wi_t[..., 2])
     safe_cos_t = jnp.where(cos_t == 0.0, 1.0, cos_t)
     f_t = (T / safe_cos_t) / (eta_corr * eta_corr)
     pdf_t = T / safe_total
 
-    wi = V3.where(choose_reflect, wi_r, wi_t)
+    wi = jnp.where(choose_reflect[..., None], wi_r, wi_t)
     f = jnp.where(choose_reflect, f_r, f_t)
     pdf = jnp.where(choose_reflect, pdf_r, pdf_t)
     component = jnp.where(
@@ -340,15 +343,16 @@ def smooth_dielectric_sample(eta, wo: V3, u1, allowed) -> BsdfSample:
     ).astype(jnp.int32)
     valid = (p_total > 0.0) & (pdf > 0.0) & ~(~choose_reflect & tir)
     return BsdfSample(
-        wi=wi, f=V3(f, f, f), pdf=pdf, component=component, valid=valid,
+        wi=wi, f=jnp.repeat(f[..., None], 3, axis=-1), pdf=pdf,
+        component=component, valid=valid,
     )
 
 
-def smooth_conductor_sample(eta3: V3, kappa3: V3, wo: V3) -> BsdfSample:
-    wi = V3(-wo.x, -wo.y, wo.z)
-    cos = wo.z
+def smooth_conductor_sample(eta3, kappa3, wo) -> BsdfSample:
+    wi = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    cos = wo[..., 2]
     safe_cos = jnp.where(cos == 0.0, 1.0, cos)
-    f = fresnel_complex_rgb(cos, eta3, kappa3) / safe_cos
+    f = fresnel_complex_rgb(cos, eta3, kappa3) / safe_cos[..., None]
     pdf = jnp.ones_like(cos)
     # cos <= 0 means the lane hit the conductor from INSIDE (a grazing
     # self-reintersection artifact on spheres); the reference's F/wo.z
@@ -365,39 +369,40 @@ def smooth_conductor_sample(eta3: V3, kappa3: V3, wo: V3) -> BsdfSample:
 
 # --------------------------------------------------- rough conductor (BRDF)
 
-def _half_or_one(h: V3):
-    degenerate = ~h.any_nonzero()
-    wm = V3.where(degenerate, V3.const(1.0, 1.0, 1.0), h).normalize()
-    return degenerate, wm
-
-
-def ts_refl_pdf(wo: V3, wi: V3, ax, ay):
-    degenerate, wm = _half_or_one(wo + wi)
-    wm = V3.where(wm.z < 0.0, -wm, wm)
-    safe_dot = jnp.maximum(jnp.abs(wo.dot(wm)), 1e-20)
+def ts_refl_pdf(wo, wi, ax, ay):
+    h = wo + wi
+    degenerate = jnp.all(h == 0.0, axis=-1)
+    wm = normalize(jnp.where(degenerate[..., None], 1.0, h))
+    wm = jnp.where((wm[..., 2] < 0.0)[..., None], -wm, wm)
+    safe_dot = jnp.maximum(jnp.abs(dot(wo, wm)), 1e-20)
     pdf = tr_visible_distribution(wo, wm, ax, ay) / (4.0 * safe_dot)
     return jnp.where(degenerate, 0.0, pdf)
 
 
-def ts_refl_eval(wo: V3, wi: V3, eta3: V3, kappa3: V3, ax, ay) -> V3:
-    degenerate, wm = _half_or_one(wo + wi)
-    cos_theta = jnp.abs(wm.dot(wi))
+def ts_refl_eval(wo, wi, eta3, kappa3, ax, ay):
+    h = wo + wi
+    degenerate = jnp.all(h == 0.0, axis=-1)
+    wm = normalize(jnp.where(degenerate[..., None], 1.0, h))
+    cos_theta = jnp.abs(dot(wm, wi))
     fres = fresnel_complex_rgb(cos_theta, eta3, kappa3)
-    denom = 4.0 * wo.z * wi.z
+    denom = 4.0 * wo[..., 2] * wi[..., 2]
     safe_denom = jnp.where(denom == 0.0, 1.0, denom)
-    f = fres * (tr_distribution(wm, ax, ay) * tr_g(wo, wi, ax, ay) / safe_denom)
+    f = (
+        (tr_distribution(wm, ax, ay) * tr_g(wo, wi, ax, ay) / safe_denom)[..., None]
+        * fres
+    )
     # opposite-hemisphere pairs (inside-hits) would yield a negative
     # denominator and negative reflectance — physically zero for a
     # reflection-only conductor (guard absent in materials.rs:1210-1213;
     # divergence recorded in PARITY.md)
     bad = degenerate | (denom <= 0.0)
-    return V3.where(bad, V3.const(0.0, 0.0, 0.0), f)
+    return jnp.where(bad[..., None], 0.0, f)
 
 
-def ts_refl_sample(wo: V3, eta3: V3, kappa3: V3, ax, ay, u0, u1) -> BsdfSample:
-    wm = tr_sample_wm(wo, ax, ay, u0, u1)
+def ts_refl_sample(wo, eta3, kappa3, ax, ay, u2) -> BsdfSample:
+    wm = tr_sample_wm(wo, ax, ay, u2)
     wi = reflect_z(wo, wm)
-    below = wo.z * wi.z < 0.0
+    below = wo[..., 2] * wi[..., 2] < 0.0
     pdf = ts_refl_pdf(wo, wi, ax, ay)
     f = ts_refl_eval(wo, wi, eta3, kappa3, ax, ay)
     return BsdfSample(
@@ -409,74 +414,80 @@ def ts_refl_sample(wo: V3, eta3: V3, kappa3: V3, ax, ay, u0, u1) -> BsdfSample:
 
 # -------------------------------------------------- rough dielectric (BSDF)
 
-def _ts_halfvector(wo: V3, wi: V3, eta):
-    reflect_case = wo.z * wi.z > 0.0
+def _ts_halfvector(wo, wi, eta):
+    reflect_case = wo[..., 2] * wi[..., 2] > 0.0
     eta_wm = jnp.where(
-        reflect_case, 1.0, jnp.where(wo.z > 0.0, eta, 1.0 / eta)
+        reflect_case, 1.0, jnp.where(wo[..., 2] > 0.0, eta, 1.0 / eta)
     )
-    degenerate, wm = _half_or_one(wi * eta_wm + wo)
-    wm = V3.where(wm.z < 0.0, -wm, wm)
-    grazing = (wi.z == 0.0) | (wo.z == 0.0) | degenerate
-    backfacing = (wm.dot(wi) * wi.z < 0.0) | (wm.dot(wo) * wo.z < 0.0)
+    h = wi * eta_wm[..., None] + wo
+    degenerate = jnp.all(h == 0.0, axis=-1)
+    wm = normalize(jnp.where(degenerate[..., None], 1.0, h))
+    wm = jnp.where((wm[..., 2] < 0.0)[..., None], -wm, wm)
+    grazing = (wi[..., 2] == 0.0) | (wo[..., 2] == 0.0) | degenerate
+    backfacing = (dot(wm, wi) * wi[..., 2] < 0.0) | (
+        dot(wm, wo) * wo[..., 2] < 0.0
+    )
     return reflect_case, eta_wm, wm, grazing | backfacing
 
 
-def ts_pdf(wo: V3, wi: V3, eta, ax, ay, allowed):
+def ts_pdf(wo, wi, eta, ax, ay, allowed):
     reflect_case, eta_wm, wm, invalid = _ts_halfvector(wo, wi, eta)
-    R = fresnel_dielectric(wo.dot(wm), eta)
+    R = fresnel_dielectric(dot(wo, wm), eta)
     T = 1.0 - R
     p_reflect = jnp.where((allowed & NONSPECULAR_REFLECTION) != 0, R, 0.0)
     p_transmit = jnp.where((allowed & NONSPECULAR_TRANSMISSION) != 0, T, 0.0)
     p_total = p_reflect + p_transmit
     safe_total = jnp.where(p_total == 0.0, 1.0, p_total)
     vd = tr_visible_distribution(wo, wm, ax, ay)
-    safe_dot = jnp.maximum(jnp.abs(wo.dot(wm)), 1e-20)
+    safe_dot = jnp.maximum(jnp.abs(dot(wo, wm)), 1e-20)
     pdf_r = (p_reflect / safe_total) * vd / (4.0 * safe_dot)
-    denom = (wi.dot(wm) + wo.dot(wm) / eta_wm) ** 2
+    denom = (dot(wi, wm) + dot(wo, wm) / eta_wm) ** 2
     safe_denom = jnp.where(denom == 0.0, 1.0, denom)
-    dwm_dwi = jnp.abs(wi.dot(wm)) / safe_denom
+    dwm_dwi = jnp.abs(dot(wi, wm)) / safe_denom
     pdf_t = (p_transmit / safe_total) * vd * dwm_dwi
     pdf = jnp.where(reflect_case, pdf_r, pdf_t)
     return jnp.where(invalid | (p_total == 0.0) | (denom == 0.0), 0.0, pdf)
 
 
-def ts_eval(wo: V3, wi: V3, eta, ax, ay) -> V3:
+def ts_eval(wo, wi, eta, ax, ay):
     reflect_case, eta_wm, wm, invalid = _ts_halfvector(wo, wi, eta)
-    F = fresnel_dielectric(wo.dot(wm), eta)
+    F = fresnel_dielectric(dot(wo, wm), eta)
     d = tr_distribution(wm, ax, ay)
     g = tr_g(wo, wi, ax, ay)
-    denom_r = jnp.abs(4.0 * wo.z * wi.z)
+    denom_r = jnp.abs(4.0 * wo[..., 2] * wi[..., 2])
     safe_r = jnp.where(denom_r == 0.0, 1.0, denom_r)
     brdf = d * F * g / safe_r
-    denom_t = wi.z * wo.z * (wi.dot(wm) + wo.dot(wm) / eta_wm) ** 2
+    denom_t = (
+        wi[..., 2] * wo[..., 2] * (dot(wi, wm) + dot(wo, wm) / eta_wm) ** 2
+    )
     safe_t = jnp.where(denom_t == 0.0, 1.0, denom_t)
     btdf = (
         d * (1.0 - F) * g
-        * jnp.abs(wi.dot(wm) * wo.dot(wm) / safe_t)
+        * jnp.abs(dot(wi, wm) * dot(wo, wm) / safe_t)
         / (eta_wm * eta_wm)
     )
     f = jnp.where(reflect_case, brdf, btdf)
     f = jnp.where(invalid | (denom_r == 0.0) & reflect_case, 0.0, f)
-    return V3(f, f, f)
+    return jnp.repeat(f[..., None], 3, axis=-1)
 
 
-def ts_sample(wo: V3, eta, ax, ay, allowed, u0, u1, uc) -> BsdfSample:
+def ts_sample(wo, eta, ax, ay, allowed, u2, u1) -> BsdfSample:
     """(materials.rs:1388-1473)."""
-    wm = tr_sample_wm(wo, ax, ay, u0, u1)
-    R = fresnel_dielectric(wo.dot(wm), eta)
+    wm = tr_sample_wm(wo, ax, ay, u2)
+    R = fresnel_dielectric(dot(wo, wm), eta)
     T = 1.0 - R
     p_reflect = jnp.where((allowed & REFLECTION) != 0, R, 0.0)
     p_transmit = jnp.where((allowed & TRANSMISSION) != 0, T, 0.0)
     p_total = p_reflect + p_transmit
     safe_total = jnp.where(p_total == 0.0, 1.0, p_total)
-    choose_reflect = uc * safe_total < p_reflect
+    choose_reflect = u1 * safe_total < p_reflect
 
     wi_r = reflect_z(wo, wm)
-    null_r = wo.z * wi_r.z < 0.0
+    null_r = wo[..., 2] * wi_r[..., 2] < 0.0
     wi_t, tir = refract(eta, wo, wm)
-    null_t = (wo.z * wi_t.z > 0.0) | (wi_t.z == 0.0) | tir
+    null_t = (wo[..., 2] * wi_t[..., 2] > 0.0) | (wi_t[..., 2] == 0.0) | tir
 
-    wi = V3.where(choose_reflect, wi_r, wi_t)
+    wi = jnp.where(choose_reflect[..., None], wi_r, wi_t)
     null = jnp.where(choose_reflect, null_r, null_t) | (p_total == 0.0)
     pdf = ts_pdf(wo, wi, eta, ax, ay, allowed)
     f = ts_eval(wo, wi, eta, ax, ay)

@@ -18,10 +18,6 @@ predicated and partitioned paths agree (TPU_RT_MAT_PART=0/1 A/B knob).
 Every bsdf_sample call consumes exactly 3 sampler dimensions regardless of
 the lane's material so streams stay aligned across the batch; the layered
 BSDF derives an internal hashed sub-stream for its random walk.
-
-Directions/colors are lane-major V3 component triples (ops/vec.py); the
-partitioned path packs them into one wide row array only to cross its
-permutation gather + tile windows.
 """
 from __future__ import annotations
 
@@ -37,8 +33,7 @@ from ..device.scene_buffers import (
 )
 from . import bsdf as B
 from .layered import layered_eval, layered_sample
-from .rng import SampleStream, SamplerConfig, hash_u32, sample_uniform, sample_uniform2c
-from .vec import V3
+from .rng import SampleStream, SamplerConfig, hash_u32, sample_uniform, sample_uniform2
 
 MAT_TILE = int(_os.environ.get("TPU_RT_MAT_TILE", "4096"))
 
@@ -111,64 +106,55 @@ def _tile_loop(n_wanted, T, bufs, tile_fn):
     return out[1:]
 
 
-def _cols(*vals):
-    """Stack scalars/V3s into one (B, K) row array (pack for permutation)."""
-    cols = []
-    for v in vals:
-        if isinstance(v, V3):
-            cols.extend([v.x, v.y, v.z])
-        else:
-            cols.append(v)
-    return jnp.stack(cols, axis=1)
-
-
-def _layered_eval_partitioned(params: B.BsdfParams, wo: V3, wi: V3, active):
+def _layered_eval_partitioned(params: B.BsdfParams, wo, wi, active):
     """layered_eval computed only on (active) coated tiles."""
-    B_ = wo.x.shape[0]
+    B_ = wo.shape[0]
     T = MAT_TILE
-    f32 = wo.x.dtype
     order, inv, n_coated = _coated_order(params.kind, active)
-    packf = _cols(
-        wo, wi, params.albedo, params.eta,
-        params.alpha_x, params.alpha_y, params.thickness, params.coat_albedo,
+    packf = jnp.concatenate(
+        [
+            wo, wi, params.albedo, params.eta,
+            params.alpha_x[:, None], params.alpha_y[:, None],
+            params.thickness[:, None], params.coat_albedo,
+        ],
+        axis=1,
     )[order]
     top_kind = params.top_kind[order]  # int domain: no f32 bitcast on TPU
     packf = _pad_tile(packf, T)
     top_kind = _pad_tile(top_kind, T)
     Bp = packf.shape[0]
-    zero_t = V3.zeros((T,), f32)
+    zero_t = jnp.zeros((T, 3), wo.dtype)
 
     def tile_fn(start, out):
         tf = jax.lax.dynamic_slice(packf, (start, 0), (T, packf.shape[1]))
         tk = jax.lax.dynamic_slice(top_kind, (start,), (T,))
-        v3 = lambda c: V3(tf[:, c], tf[:, c + 1], tf[:, c + 2])  # noqa: E731
         p = B.BsdfParams(
             kind=jnp.full((T,), MAT_COATED_DIFFUSE, jnp.int32),
-            albedo=v3(6), eta=v3(9), kappa=zero_t,
+            albedo=tf[:, 6:9], eta=tf[:, 9:12], kappa=zero_t,
             alpha_x=tf[:, 12], alpha_y=tf[:, 13], top_kind=tk,
-            thickness=tf[:, 14], coat_albedo=v3(15),
+            thickness=tf[:, 14], coat_albedo=tf[:, 15:18],
         )
-        f = layered_eval(p, v3(0), v3(3))
-        return (jax.lax.dynamic_update_slice(
-            out, jnp.stack([f.x, f.y, f.z], axis=1), (start, 0)),)
+        f = layered_eval(p, tf[:, 0:3], tf[:, 3:6])
+        return (jax.lax.dynamic_update_slice(out, f, (start, 0)),)
 
     (out,) = _tile_loop(
-        n_coated, T, (jnp.zeros((Bp, 3), f32),), tile_fn
+        n_coated, T, (jnp.zeros((Bp, 3), wo.dtype),), tile_fn
     )
-    out = out[:B_][inv]
-    return V3(out[:, 0], out[:, 1], out[:, 2])
+    return out[:B_][inv]
 
 
-def _layered_sample_partitioned(params: B.BsdfParams, wo: V3, draw_base,
-                                active):
+def _layered_sample_partitioned(params: B.BsdfParams, wo, draw_base, active):
     """layered_sample computed only on (active) coated tiles."""
-    B_ = wo.x.shape[0]
+    B_ = wo.shape[0]
     T = MAT_TILE
-    f32 = wo.x.dtype
     order, inv, n_coated = _coated_order(params.kind, active)
-    packf = _cols(
-        wo, params.albedo, params.eta,
-        params.alpha_x, params.alpha_y, params.thickness, params.coat_albedo,
+    packf = jnp.concatenate(
+        [
+            wo, params.albedo, params.eta,
+            params.alpha_x[:, None], params.alpha_y[:, None],
+            params.thickness[:, None], params.coat_albedo,
+        ],
+        axis=1,
     )[order]
     packi = jnp.stack(
         [
@@ -180,23 +166,20 @@ def _layered_sample_partitioned(params: B.BsdfParams, wo: V3, draw_base,
     packf = _pad_tile(packf, T)
     packi = _pad_tile(packi, T)
     Bp = packf.shape[0]
-    zero_t = V3.zeros((T,), f32)
+    zero_t = jnp.zeros((T, 3), wo.dtype)
 
     def tile_fn(start, outf, outi):
         tf = jax.lax.dynamic_slice(packf, (start, 0), (T, packf.shape[1]))
         ti = jax.lax.dynamic_slice(packi, (start, 0), (T, 2))
-        v3 = lambda c: V3(tf[:, c], tf[:, c + 1], tf[:, c + 2])  # noqa: E731
         p = B.BsdfParams(
             kind=jnp.full((T,), MAT_COATED_DIFFUSE, jnp.int32),
-            albedo=v3(3), eta=v3(6), kappa=zero_t,
+            albedo=tf[:, 3:6], eta=tf[:, 6:9], kappa=zero_t,
             alpha_x=tf[:, 9], alpha_y=tf[:, 10], top_kind=ti[:, 1],
-            thickness=tf[:, 11], coat_albedo=v3(12),
+            thickness=tf[:, 11], coat_albedo=tf[:, 12:15],
         )
         db = jax.lax.bitcast_convert_type(ti[:, 0], jnp.uint32)
-        s = layered_sample(p, v3(0), db)
-        sf = jnp.stack(
-            [s.wi.x, s.wi.y, s.wi.z, s.f.x, s.f.y, s.f.z, s.pdf], axis=1
-        )
+        s = layered_sample(p, tf[:, 0:3], db)
+        sf = jnp.concatenate([s.wi, s.f, s.pdf[:, None]], axis=1)
         si = jnp.stack(
             [s.component, s.valid.astype(jnp.int32)], axis=1
         )
@@ -207,15 +190,13 @@ def _layered_sample_partitioned(params: B.BsdfParams, wo: V3, draw_base,
 
     outf, outi = _tile_loop(
         n_coated, T,
-        (jnp.zeros((Bp, 7), f32), jnp.zeros((Bp, 2), jnp.int32)),
+        (jnp.zeros((Bp, 7), wo.dtype), jnp.zeros((Bp, 2), jnp.int32)),
         tile_fn,
     )
     outf = outf[:B_][inv]
     outi = outi[:B_][inv]
     return B.BsdfSample(
-        wi=V3(outf[:, 0], outf[:, 1], outf[:, 2]),
-        f=V3(outf[:, 3], outf[:, 4], outf[:, 5]),
-        pdf=outf[:, 6],
+        wi=outf[:, 0:3], f=outf[:, 3:6], pdf=outf[:, 6],
         component=outi[:, 0], valid=outi[:, 1] != 0,
     )
 
@@ -231,8 +212,8 @@ def _rough_kinds(kinds: Tuple[int, ...]):
     return out
 
 
-def bsdf_eval(params: B.BsdfParams, wo: V3, wi: V3, kinds: Tuple[int, ...],
-              active=None) -> V3:
+def bsdf_eval(params: B.BsdfParams, wo, wi, kinds: Tuple[int, ...],
+              active=None):
     """f(wo, wi) per lane; delta BSDFs evaluate to zero.
 
     active (optional bool mask): lanes whose result is actually consumed —
@@ -240,39 +221,40 @@ def bsdf_eval(params: B.BsdfParams, wo: V3, wi: V3, kinds: Tuple[int, ...],
     lanes may return garbage; callers must mask (they already do)."""
     kinds = _rough_kinds(kinds)
     k = params.kind
-    f = V3.zeros(wo.x.shape, wo.x.dtype)
+    f = jnp.zeros_like(wo)
     if MAT_DIFFUSE in kinds:
-        f = V3.where(
-            k == MAT_DIFFUSE, B.diffuse_eval(params.albedo, wo, wi), f
+        f = jnp.where(
+            (k == MAT_DIFFUSE)[..., None],
+            B.diffuse_eval(params.albedo, wo, wi),
+            f,
         )
     if MAT_ROUGH_CONDUCTOR in kinds:
-        f = V3.where(
-            k == MAT_ROUGH_CONDUCTOR,
+        f = jnp.where(
+            (k == MAT_ROUGH_CONDUCTOR)[..., None],
             B.ts_refl_eval(
                 wo, wi, params.eta, params.kappa, params.alpha_x, params.alpha_y
             ),
             f,
         )
     if MAT_ROUGH_DIELECTRIC in kinds:
-        f = V3.where(
-            k == MAT_ROUGH_DIELECTRIC,
-            B.ts_eval(wo, wi, params.eta.x, params.alpha_x, params.alpha_y),
+        f = jnp.where(
+            (k == MAT_ROUGH_DIELECTRIC)[..., None],
+            B.ts_eval(wo, wi, params.eta[..., 0], params.alpha_x, params.alpha_y),
             f,
         )
     if MAT_COATED_DIFFUSE in kinds:
-        if _mat_partition(wo.x.shape[0]):
+        if _mat_partition(wo.shape[0]):
             lf = _layered_eval_partitioned(params, wo, wi, active)
         else:
             lf = layered_eval(params, wo, wi)
-        f = V3.where(k == MAT_COATED_DIFFUSE, lf, f)
+        f = jnp.where((k == MAT_COATED_DIFFUSE)[..., None], lf, f)
     return f
 
 
-def bsdf_pdf(params: B.BsdfParams, wo: V3, wi: V3, allowed,
-             kinds: Tuple[int, ...]):
+def bsdf_pdf(params: B.BsdfParams, wo, wi, allowed, kinds: Tuple[int, ...]):
     kinds = _rough_kinds(kinds)
     k = params.kind
-    pdf = jnp.zeros(wo.x.shape, wo.x.dtype)
+    pdf = jnp.zeros(wo.shape[:-1], wo.dtype)
     if MAT_DIFFUSE in kinds:
         pdf = jnp.where(
             k == MAT_DIFFUSE, B.diffuse_pdf(wo, wi, allowed), pdf
@@ -283,7 +265,7 @@ def bsdf_pdf(params: B.BsdfParams, wo: V3, wi: V3, allowed,
         pdf = jnp.where((k == MAT_ROUGH_CONDUCTOR) & ok, p, pdf)
     if MAT_ROUGH_DIELECTRIC in kinds:
         p = B.ts_pdf(
-            wo, wi, params.eta.x, params.alpha_x, params.alpha_y, allowed
+            wo, wi, params.eta[..., 0], params.alpha_x, params.alpha_y, allowed
         )
         pdf = jnp.where(k == MAT_ROUGH_DIELECTRIC, p, pdf)
     # layered pdf is not defined (reference: todo!()); never needed at top
@@ -293,7 +275,7 @@ def bsdf_pdf(params: B.BsdfParams, wo: V3, wi: V3, allowed,
 
 def bsdf_sample(
     params: B.BsdfParams,
-    wo: V3,
+    wo,
     allowed,
     cfg: SamplerConfig,
     stream: SampleStream,
@@ -302,22 +284,23 @@ def bsdf_sample(
 ) -> Tuple[B.BsdfSample, SampleStream]:
     kinds = _rough_kinds(kinds)
     k = params.kind
-    u0, u1, stream = sample_uniform2c(cfg, stream)
-    uc, stream = sample_uniform(cfg, stream)
+    u2, stream = sample_uniform2(cfg, stream)
+    u1, stream = sample_uniform(cfg, stream)
 
-    B_ = wo.x.shape[0]
+    B_ = wo.shape[0]
     out = B.BsdfSample(
-        wi=V3.zeros(wo.x.shape, wo.x.dtype),
-        f=V3.zeros(wo.x.shape, wo.x.dtype),
-        pdf=jnp.zeros(B_, wo.x.dtype),
+        wi=jnp.zeros_like(wo),
+        f=jnp.zeros_like(wo),
+        pdf=jnp.zeros(B_, wo.dtype),
         component=jnp.zeros(B_, jnp.int32),
         valid=jnp.zeros(B_, bool),
     )
 
     def merge(out, mask, s: B.BsdfSample):
+        m = mask[..., None]
         return B.BsdfSample(
-            wi=V3.where(mask, s.wi, out.wi),
-            f=V3.where(mask, s.f, out.f),
+            wi=jnp.where(m, s.wi, out.wi),
+            f=jnp.where(m, s.f, out.f),
             pdf=jnp.where(mask, s.pdf, out.pdf),
             component=jnp.where(mask, s.component, out.component),
             valid=jnp.where(mask, s.valid, out.valid),
@@ -325,11 +308,11 @@ def bsdf_sample(
 
     if MAT_DIFFUSE in kinds:
         ok = (allowed & B.NONSPECULAR_REFLECTION) != 0
-        s = B.diffuse_sample(params.albedo, wo, u0, u1)
+        s = B.diffuse_sample(params.albedo, wo, u2)
         s = s._replace(valid=s.valid & ok)
         out = merge(out, k == MAT_DIFFUSE, s)
     if MAT_SMOOTH_DIELECTRIC in kinds:
-        s = B.smooth_dielectric_sample(params.eta.x, wo, uc, allowed)
+        s = B.smooth_dielectric_sample(params.eta[..., 0], wo, u1, allowed)
         out = merge(out, k == MAT_SMOOTH_DIELECTRIC, s)
     if MAT_SMOOTH_CONDUCTOR in kinds:
         ok = (allowed & B.SPECULAR_REFLECTION) != 0
@@ -339,15 +322,14 @@ def bsdf_sample(
     if MAT_ROUGH_CONDUCTOR in kinds:
         ok = (allowed & B.REFLECTION) != 0
         s = B.ts_refl_sample(
-            wo, params.eta, params.kappa, params.alpha_x, params.alpha_y,
-            u0, u1,
+            wo, params.eta, params.kappa, params.alpha_x, params.alpha_y, u2
         )
         s = s._replace(valid=s.valid & ok)
         out = merge(out, k == MAT_ROUGH_CONDUCTOR, s)
     if MAT_ROUGH_DIELECTRIC in kinds:
         s = B.ts_sample(
-            wo, params.eta.x, params.alpha_x, params.alpha_y,
-            allowed, u0, u1, uc,
+            wo, params.eta[..., 0], params.alpha_x, params.alpha_y,
+            allowed, u2, u1,
         )
         out = merge(out, k == MAT_ROUGH_DIELECTRIC, s)
     if MAT_COATED_DIFFUSE in kinds:
@@ -355,7 +337,7 @@ def bsdf_sample(
             stream.px, stream.py, stream.sample, stream.dim,
             jnp.uint32(0xC0A7ED),
         )
-        if _mat_partition(wo.x.shape[0]):
+        if _mat_partition(wo.shape[0]):
             s = _layered_sample_partitioned(params, wo, draw_base, active)
         else:
             s = layered_sample(params, wo, draw_base)

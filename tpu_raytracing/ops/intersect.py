@@ -10,27 +10,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .linalg import cross, dot
-from .vec import V3
 
 INF = jnp.inf
 
 
 def ray_aabb(origin, inv_dir, bb_min, bb_max):
     """Slab test. Returns (t0, t1); hit iff t0 <= t1 (range may be negative)."""
-    if isinstance(origin, V3):
-        a = (bb_min - origin) * inv_dir
-        b = (bb_max - origin) * inv_dir
-        return (V3.minimum(a, b).max_component(),
-                _min_component(V3.maximum(a, b)))
     a = (bb_min - origin) * inv_dir
     b = (bb_max - origin) * inv_dir
     t0 = jnp.max(jnp.minimum(a, b), axis=-1)
     t1 = jnp.min(jnp.maximum(a, b), axis=-1)
     return t0, t1
-
-
-def _min_component(v: V3):
-    return jnp.minimum(jnp.minimum(v.x, v.y), v.z)
 
 
 # seam-inclusive barycentric bound: adjacent triangles' Moller-Trumbore
@@ -89,34 +79,33 @@ def ray_sphere(origin, direction, center, radius, t_min, t_max):
 
 def sphere_hit_geom(point, center, radius):
     """Spherical uv + dpdu/dpdv at an object-space hit point
-    (geometry.rs:180-224 conventions: u = phi/2pi, v = theta/pi, z-up).
-
-    Row form returns ((..., 2) uv, rows); V3 form returns ((u, v), V3s).
-    """
+    (geometry.rs:180-224 conventions: u = phi/2pi, v = theta/pi, z-up)."""
     local = point - center
-    lx, ly, lz = ((local.x, local.y, local.z) if isinstance(local, V3)
-                  else (local[..., 0], local[..., 1], local[..., 2]))
-    cos_theta = jnp.clip(lz / radius, -1.0, 1.0)
+    cos_theta = jnp.clip(local[..., 2] / radius, -1.0, 1.0)
     theta = jnp.arccos(cos_theta)
     sin_theta = jnp.sin(theta)
     safe_rst = jnp.where(sin_theta == 0.0, 1.0, radius * sin_theta)
-    cos_phi = jnp.clip(lx / safe_rst, -1.0, 1.0)
-    sin_phi = ly / safe_rst
+    cos_phi = jnp.clip(local[..., 0] / safe_rst, -1.0, 1.0)
+    sin_phi = local[..., 1] / safe_rst
     acos_cp = jnp.arccos(cos_phi)
-    phi = jnp.where(ly > 0.0, acos_cp, 2.0 * jnp.pi - acos_cp)
+    phi = jnp.where(local[..., 1] > 0.0, acos_cp, 2.0 * jnp.pi - acos_cp)
     u = phi / (2.0 * jnp.pi)
     v = theta / jnp.pi
-    if isinstance(local, V3):
-        dpdu = V3(-2.0 * jnp.pi * ly, 2.0 * jnp.pi * lx, jnp.zeros_like(lx))
-        dpdv = jnp.pi * V3(lz * cos_phi, lz * sin_phi, -radius * sin_theta)
-        normal = local / radius
-        return (u, v), normal, dpdu, dpdv
     dpdu = jnp.stack(
-        [-2.0 * jnp.pi * ly, 2.0 * jnp.pi * lx, jnp.zeros_like(lx)],
+        [
+            -2.0 * jnp.pi * local[..., 1],
+            2.0 * jnp.pi * local[..., 0],
+            jnp.zeros_like(local[..., 0]),
+        ],
         axis=-1,
     )
     dpdv = jnp.pi * jnp.stack(
-        [lz * cos_phi, lz * sin_phi, -radius * sin_theta], axis=-1,
+        [
+            local[..., 2] * cos_phi,
+            local[..., 2] * sin_phi,
+            -radius * sin_theta,
+        ],
+        axis=-1,
     )
     normal = local / jnp.asarray(radius)[..., None]
     return jnp.stack([u, v], axis=-1), normal, dpdu, dpdv

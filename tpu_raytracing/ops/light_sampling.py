@@ -10,8 +10,6 @@ solid angle with `d^2 / |dot(dir_world, n)|` where dir_world is UNNORMALIZED
 *object-space* triangle area under instance transforms. We use the correct
 world-space conversion pdf_area * d^2 / cos(theta); snapshots are blessed
 against this renderer's own output.
-
-Vectors are lane-major V3 component triples (ops/vec.py).
 """
 from __future__ import annotations
 
@@ -23,15 +21,15 @@ import jax.numpy as jnp
 from ..device.scene_buffers import (
     DeviceScene, LIGHT_AREA, LIGHT_DIRECTION, LIGHT_POINT,
 )
-from .rng import SampleStream, SamplerConfig, sample_uniform, sample_uniform2c
+from .linalg import cross, dot, normalize
+from .rng import SampleStream, SamplerConfig, sample_uniform, sample_uniform2
 from .textures import EvalCtx, eval_texture
-from .vec import V3
 
 
 class LightSample(NamedTuple):
-    radiance: V3           # per-lane components
-    origin: V3             # shadow-ray origin (on the light)
-    direction: V3          # shadow-ray direction (light -> point)
+    radiance: jax.Array    # (B, 3)
+    origin: jax.Array      # (B, 3) shadow-ray origin (on the light)
+    direction: jax.Array   # (B, 3) shadow-ray direction (light -> point)
     distance: jax.Array    # (B,)
     pdf: jax.Array         # (B,)
 
@@ -39,44 +37,41 @@ class LightSample(NamedTuple):
 def sample_light(
     ds: DeviceScene,
     light_index: int,          # static
-    point: V3,                 # shading points
+    point,                     # (B, 3) shading points
     cfg: SamplerConfig,
     stream: SampleStream,
 ) -> Tuple[LightSample, SampleStream]:
     kind = ds.meta.light_kinds[light_index]
     li = light_index
-    B = point.x.shape[0]
-    f32 = point.x.dtype
+    B = point.shape[0]
 
     if kind == LIGHT_POINT:
-        pos = V3.from_rows(ds.light_va[li])  # (3,) consts
+        pos = ds.light_va[li]
         d_vec = point - pos
-        d = d_vec.norm()
+        d = jnp.linalg.norm(d_vec, axis=-1)
         safe_d = jnp.where(d == 0.0, 1.0, d)
-        ones = jnp.ones(B, f32)
         return (
             LightSample(
-                radiance=V3.from_rows(ds.light_vb[li]) / (safe_d * safe_d),
-                origin=pos * ones,
-                direction=d_vec / safe_d,
+                radiance=ds.light_vb[li] / (safe_d * safe_d)[:, None],
+                origin=jnp.broadcast_to(pos, point.shape),
+                direction=d_vec / safe_d[:, None],
                 distance=d,
-                pdf=ones,
+                pdf=jnp.ones(B, point.dtype),
             ),
             stream,
         )
 
     if kind == LIGHT_DIRECTION:
-        direction = V3.from_rows(ds.light_va[li])
+        direction = ds.light_va[li]
         diameter = ds.bounds_radius * 2.0
         origin = point - direction * diameter
-        ones = jnp.ones(B, f32)
         return (
             LightSample(
-                radiance=V3.from_rows(ds.light_vb[li]) * ones,
+                radiance=jnp.broadcast_to(ds.light_vb[li], point.shape),
                 origin=origin,
-                direction=direction.normalize() * ones,
+                direction=jnp.broadcast_to(normalize(direction), point.shape),
                 distance=jnp.broadcast_to(diameter, (B,)),
-                pdf=ones,
+                pdf=jnp.ones(B, point.dtype),
             ),
             stream,
         )
@@ -88,36 +83,34 @@ def sample_light(
         (u_tri * n_tris.astype(jnp.float32)).astype(jnp.int32), n_tris - 1
     )
     idx = ds.light_emit_first[li] + tri_rel
-    u0, u1, stream = sample_uniform2c(cfg, stream)
+    u, stream = sample_uniform2(cfg, stream)
     # low-distortion square -> triangle mapping (lights.rs:66-77)
+    u0, u1 = u[:, 0], u[:, 1]
     lt = u0 < u1
     b0 = jnp.where(lt, u0 / 2.0, u0 - u1 / 2.0)
     b1 = jnp.where(lt, u1 - u0 / 2.0, u1 / 2.0)
     b2 = 1.0 - b0 - b1
 
     sh = ds.em_shade[idx]  # one wide gather instead of 8 narrow ones
-    p0 = V3.from_rows(sh[:, 0:3])
-    p1 = V3.from_rows(sh[:, 3:6])
-    p2 = V3.from_rows(sh[:, 6:9])
-    p_world = p0 * b0 + p1 * b1 + p2 * b2
+    p0, p1, p2 = sh[:, 0:3], sh[:, 3:6], sh[:, 6:9]
+    p_world = b0[:, None] * p0 + b1[:, None] * p1 + b2[:, None] * p2
     dir_world = point - p_world
-    d = dir_world.norm()
+    d = jnp.linalg.norm(dir_world, axis=-1)
     safe_d = jnp.where(d == 0.0, 1.0, d)
-    dir_unit = dir_world / safe_d
+    dir_unit = dir_world / safe_d[:, None]
 
     n_interp = (
-        V3.from_rows(sh[:, 9:12]) * b0
-        + V3.from_rows(sh[:, 12:15]) * b1
-        + V3.from_rows(sh[:, 15:18]) * b2
+        b0[:, None] * sh[:, 9:12]
+        + b1[:, None] * sh[:, 12:15]
+        + b2[:, None] * sh[:, 15:18]
     )
-    n_geo = (p2 - p0).cross(p1 - p0).normalize()
+    n_geo = normalize(cross(p2 - p0, p1 - p0))
     has_n = jax.lax.bitcast_convert_type(sh[:, 19], jnp.int32) != 0
-    n = V3.where(has_n, n_interp.normalize(), n_geo)
+    n = jnp.where(has_n[:, None], normalize(n_interp), n_geo)
 
-    cos = dir_unit.dot(n)
-    radiance = V3.where(
-        cos < 0.0, V3.const(0.0, 0.0, 0.0),
-        V3.from_rows(ds.light_vb[li]) * jnp.ones(B, f32),
+    cos = dot(dir_unit, n)
+    radiance = jnp.where(
+        (cos < 0.0)[:, None], 0.0, jnp.broadcast_to(ds.light_vb[li], point.shape)
     )
     area = sh[:, 18]
     safe_cos = jnp.maximum(jnp.abs(cos), 1e-9)
@@ -139,20 +132,21 @@ def sample_light(
     )
 
 
-def light_emitted_radiance(ds: DeviceScene, light_idx) -> V3:
+def light_emitted_radiance(ds: DeviceScene, light_idx):
     """Radiance seen when a path directly hits an emitter (lights.rs:124-135)."""
     li = jnp.maximum(light_idx, 0)
     is_area = ds.light_kind[li] == LIGHT_AREA
-    vb = V3.from_rows(ds.light_vb[li])
-    return V3.where((light_idx >= 0) & is_area, vb, V3.const(0.0, 0.0, 0.0))
+    return jnp.where(
+        ((light_idx >= 0) & is_area)[:, None], ds.light_vb[li], 0.0
+    )
 
 
-def environment_radiance(ds: DeviceScene, direction: V3) -> V3:
+def environment_radiance(ds: DeviceScene, direction):
     """Spherical lat-long environment lookup (lights.rs:137-157)."""
-    d = direction.normalize()
-    t = jnp.arccos(jnp.clip(d.z, -1.0, 1.0)) / jnp.pi
-    s = (jnp.arctan2(d.x, d.y) + jnp.pi) / (2.0 * jnp.pi)
-    ctx = EvalCtx.without_antialiasing(s, t)
-    tid = jnp.full(s.shape, ds.meta.env_tex, jnp.int32)
-    r, g, b, _ = eval_texture(ds, tid, ctx, has_derivs=False)
-    return V3(r, g, b)
+    d = normalize(direction)
+    t = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0)) / jnp.pi
+    s = (jnp.arctan2(d[..., 0], d[..., 1]) + jnp.pi) / (2.0 * jnp.pi)
+    uv = jnp.stack([s, t], axis=-1)
+    ctx = EvalCtx.without_antialiasing(uv)
+    tid = jnp.full(direction.shape[:-1], ds.meta.env_tex, jnp.int32)
+    return eval_texture(ds, tid, ctx, has_derivs=False)[..., :3]

@@ -1,37 +1,22 @@
-"""Batched vector helpers for SoA device math.
-
-Polymorphic over the two vector representations: row-major (..., 3)
-arrays and the lane-major V3 component triples (ops/vec.py — the hot-path
-representation on TPU; see its module docstring for the layout rationale).
-"""
+"""Batched vector helpers for SoA device math (last axis = xyz)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .vec import V3
-
 
 def dot(a, b):
-    if isinstance(a, V3):
-        return a.dot(b)
     return jnp.sum(a * b, axis=-1)
 
 
 def cross(a, b):
-    if isinstance(a, V3):
-        return a.cross(b)
     return jnp.cross(a, b)
 
 
 def norm(a):
-    if isinstance(a, V3):
-        return a.norm()
     return jnp.sqrt(jnp.sum(a * a, axis=-1))
 
 
 def normalize(a, eps: float = 0.0):
-    if isinstance(a, V3):
-        return a.normalize(eps)
     n = norm(a)
     safe = jnp.where(n > eps, n, 1.0)
     return a / safe[..., None]
@@ -48,14 +33,6 @@ def normalize(a, eps: float = 0.0):
 
 def _mat3_apply(m, v, transposed: bool = False):
     ix = (lambda i, j: (j, i)) if transposed else (lambda i, j: (i, j))
-    if isinstance(v, V3):
-        c = (v.x, v.y, v.z)
-        return V3(*[
-            m[(..., *ix(i, 0))] * c[0]
-            + m[(..., *ix(i, 1))] * c[1]
-            + m[(..., *ix(i, 2))] * c[2]
-            for i in range(3)
-        ])
     return jnp.stack(
         [
             m[(..., *ix(i, 0))] * v[..., 0]
@@ -68,16 +45,7 @@ def _mat3_apply(m, v, transposed: bool = False):
 
 
 def apply_point(m, p):
-    """Apply 4x4 (row-major, column-vector) to points; m: (..., 4, 4),
-    p: (..., 3) rows or V3."""
-    if isinstance(p, V3):
-        r = _mat3_apply(m, p)
-        r = V3(r.x + m[..., 0, 3], r.y + m[..., 1, 3], r.z + m[..., 2, 3])
-        w = (
-            m[..., 3, 0] * p.x + m[..., 3, 1] * p.y
-            + m[..., 3, 2] * p.z + m[..., 3, 3]
-        )
-        return r / w
+    """Apply 4x4 (row-major, column-vector) to points; m: (..., 4, 4), p: (..., 3)."""
     r = _mat3_apply(m, p) + m[..., :3, 3]
     w = (
         m[..., 3, 0] * p[..., 0]
@@ -99,14 +67,6 @@ def apply_vector_transposed(m, v):
 
 def make_orthonormal_basis(z):
     """Batched ONB: from unit z produce (x, y) (geometry.rs:8-20 semantics)."""
-    if isinstance(z, V3):
-        pick = jnp.abs(z.z) < 0.8
-        zero = jnp.zeros_like(z.x)
-        a = V3(zero, jnp.where(pick, 0.0, 1.0).astype(z.x.dtype),
-               jnp.where(pick, 1.0, 0.0).astype(z.x.dtype))
-        x = a.cross(z).normalize()
-        y = z.cross(x)
-        return x, y
     a = jnp.where(
         (jnp.abs(z[..., 2]) < 0.8)[..., None],
         jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], z.dtype), z.shape),

@@ -167,9 +167,8 @@ def sample_uniform(cfg: SamplerConfig, stream: SampleStream):
 
 
 @partial(jax.jit, static_argnums=0)
-def sample_uniform2c(cfg: SamplerConfig, stream: SampleStream):
-    """Draw a 2D sample per lane; returns (u0, u1, new stream) as dense
-    (B,) components (hot-path form — avoids the padded (B,2) layout)."""
+def sample_uniform2(cfg: SamplerConfig, stream: SampleStream):
+    """Draw a 2D sample per lane; returns ((B,2) values, new stream)."""
     dim = stream.dim
     u0 = uniform_from_bits(_draw_bits(cfg, stream, dim))
     u1 = uniform_from_bits(_draw_bits(cfg, stream, dim + U32(1)))
@@ -184,13 +183,7 @@ def sample_uniform2c(cfg: SamplerConfig, stream: SampleStream):
             dx = dy = jnp.full_like(u0, 0.5)
         u0 = (x.astype(jnp.float32) + dx) / np.float32(cfg.x_strata)
         u1 = (y.astype(jnp.float32) + dy) / np.float32(cfg.y_strata)
-    return u0, u1, stream._replace(dim=dim + U32(2))
-
-
-def sample_uniform2(cfg: SamplerConfig, stream: SampleStream):
-    """Draw a 2D sample per lane; returns ((B,2) values, new stream)."""
-    u0, u1, stream = sample_uniform2c(cfg, stream)
-    return jnp.stack([u0, u1], axis=-1), stream
+    return jnp.stack([u0, u1], axis=-1), stream._replace(dim=dim + U32(2))
 
 
 def sample_u32(cfg: SamplerConfig, stream: SampleStream, n: int):
@@ -202,21 +195,16 @@ def sample_u32(cfg: SamplerConfig, stream: SampleStream, n: int):
 
 
 # ------------------------------------------------------------ distributions
-# *_c variants take/return dense (B,) components (hot-path form).
-
-def sample_unit_disk_c(u0, u1):
-    r = jnp.sqrt(u0)
-    theta = 2.0 * jnp.pi * u1
-    return r * jnp.cos(theta), r * jnp.sin(theta)
-
 
 def sample_unit_disk(u):
-    x, y = sample_unit_disk_c(u[..., 0], u[..., 1])
-    return jnp.stack([x, y], axis=-1)
+    r = jnp.sqrt(u[..., 0])
+    theta = 2.0 * jnp.pi * u[..., 1]
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
 
 
-def sample_unit_disk_concentric_c(u0, u1):
-    ux, uy = 2.0 * u0 - 1.0, 2.0 * u1 - 1.0
+def sample_unit_disk_concentric(u):
+    uo = 2.0 * u - 1.0
+    ux, uy = uo[..., 0], uo[..., 1]
     x_dominant = jnp.abs(ux) > jnp.abs(uy)
     safe_ux = jnp.where(ux == 0.0, 1.0, ux)
     safe_uy = jnp.where(uy == 0.0, 1.0, uy)
@@ -227,25 +215,14 @@ def sample_unit_disk_concentric_c(u0, u1):
     )
     r = jnp.where(x_dominant, ux, uy)
     zero = (ux == 0.0) & (uy == 0.0)
-    x = jnp.where(zero, 0.0, r * jnp.cos(theta))
-    y = jnp.where(zero, 0.0, r * jnp.sin(theta))
-    return x, y
-
-
-def sample_unit_disk_concentric(u):
-    x, y = sample_unit_disk_concentric_c(u[..., 0], u[..., 1])
-    return jnp.stack([x, y], axis=-1)
-
-
-def sample_cosine_hemisphere_c(u0, u1):
-    x, y = sample_unit_disk_c(u0, u1)
-    z = jnp.sqrt(jnp.maximum(1.0 - x ** 2 - y ** 2, 0.0))
-    return x, y, z
+    d = r[..., None] * jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+    return jnp.where(zero[..., None], 0.0, d)
 
 
 def sample_cosine_hemisphere(u):
-    x, y, z = sample_cosine_hemisphere_c(u[..., 0], u[..., 1])
-    return jnp.stack([x, y, z], axis=-1)
+    d = sample_unit_disk(u)
+    z = jnp.sqrt(jnp.maximum(1.0 - d[..., 0] ** 2 - d[..., 1] ** 2, 0.0))
+    return jnp.stack([d[..., 0], d[..., 1], z], axis=-1)
 
 
 def sample_exponential(u, a):

@@ -10,10 +10,6 @@ texture.rs:235-272, trilinear = lerp of two bilinear mip taps with the mip
 level chosen from uv-footprint derivatives (texture.rs:274-356). Checker
 textures use the reference's erf-based analytic antialiasing
 (texture.rs:376-434).
-
-All per-lane values flow as dense (B,) components (see ops/vec.py for the
-TPU layout rationale); texel/row gathers are the only row-major arrays, and
-each gather's columns are extracted in one multi-output fusion pass.
 """
 from __future__ import annotations
 
@@ -26,61 +22,60 @@ from ..device.scene_buffers import (
     DeviceScene, TEX_CHECKER, TEX_CONSTANT, TEX_IMAGE, TEX_MIX, TEX_SCALE,
 )
 from ..materials import FilterMode, WrapMode
-from .vec import V3
 
 
 class EvalCtx(NamedTuple):
-    """uv + screen-space uv derivatives (materials.rs MaterialEvalContext).
-    All fields are dense (B,) components."""
+    """uv + screen-space uv derivatives (materials.rs MaterialEvalContext)."""
 
-    u: jax.Array
-    v: jax.Array
-    dudx: jax.Array
+    uv: jax.Array     # (B, 2)
+    dudx: jax.Array   # (B,)
     dudy: jax.Array
     dvdx: jax.Array
     dvdy: jax.Array
 
     @staticmethod
-    def without_antialiasing(u, v) -> "EvalCtx":
-        z = jnp.zeros(u.shape, u.dtype)
-        return EvalCtx(u=u, v=v, dudx=z, dudy=z, dvdx=z, dvdy=z)
+    def without_antialiasing(uv) -> "EvalCtx":
+        z = jnp.zeros(uv.shape[:-1], uv.dtype)
+        return EvalCtx(uv=uv, dudx=z, dudy=z, dvdx=z, dvdy=z)
 
 
-def eval_ctx_from_differentials(hit, ray_o: V3, ray_d: V3, diff) -> EvalCtx:
+def eval_ctx_from_differentials(hit, ray_o, ray_d, diff) -> EvalCtx:
     """Chain-rule + least-squares duv/dxy from world-space ray differentials
-    (materials.rs:715-809). diff: (x_o, y_o, x_d, y_d) V3 tuple."""
+    (materials.rs:715-809). diff: (B, 4, 3) rows x_o, y_o, x_d, y_d."""
     n, p = hit.normal, hit.point
-    rx_o = ray_o + diff[0]
-    ry_o = ray_o + diff[1]
-    rx_d = ray_d + diff[2]
-    ry_d = ray_d + diff[3]
+    rx_o = ray_o + diff[:, 0]
+    ry_o = ray_o + diff[:, 1]
+    rx_d = ray_d + diff[:, 2]
+    ry_d = ray_d + diff[:, 3]
 
-    d = -n.dot(p)
-    tx = -(n.dot(rx_o) + d) / n.dot(rx_d)
-    ty = -(n.dot(ry_o) + d) / n.dot(ry_d)
-    px = rx_o + rx_d * tx
-    py = ry_o + ry_d * ty
+    def dot(a, b):
+        return jnp.sum(a * b, axis=-1)
+
+    d = -dot(n, p)
+    tx = -(dot(n, rx_o) + d) / dot(n, rx_d)
+    ty = -(dot(n, ry_o) + d) / dot(n, ry_d)
+    px = rx_o + tx[:, None] * rx_d
+    py = ry_o + ty[:, None] * ry_d
     dpdx = px - p
     dpdy = py - p
 
     dpdu, dpdv = hit.dpdu, hit.dpdv
-    ata00 = dpdu.dot(dpdu)
-    ata11 = dpdv.dot(dpdv)
-    ata01 = dpdu.dot(dpdv)
+    ata00 = dot(dpdu, dpdu)
+    ata11 = dot(dpdv, dpdv)
+    ata01 = dot(dpdu, dpdv)
     det = ata00 * ata11 - ata01 * ata01
     inv_det = 1.0 / det
-    atb0x = dpdu.dot(dpdx)
-    atb1x = dpdv.dot(dpdx)
-    atb0y = dpdu.dot(dpdy)
-    atb1y = dpdv.dot(dpdy)
+    atb0x = dot(dpdu, dpdx)
+    atb1x = dot(dpdv, dpdx)
+    atb0y = dot(dpdu, dpdy)
+    atb1y = dot(dpdv, dpdy)
 
-    def clamp(val):
-        val = jnp.where(jnp.isfinite(val), val, 0.0)
-        return jnp.clip(val, -1.0e8, 1.0e8)
+    def clamp(v):
+        v = jnp.where(jnp.isfinite(v), v, 0.0)
+        return jnp.clip(v, -1.0e8, 1.0e8)
 
     return EvalCtx(
-        u=hit.u,
-        v=hit.v,
+        uv=hit.uv,
         dudx=clamp(inv_det * (ata11 * atb0x - ata01 * atb1x)),
         dvdx=clamp(inv_det * (ata00 * atb1x - ata01 * atb0x)),
         dudy=clamp(inv_det * (ata11 * atb0y - ata01 * atb1y)),
@@ -99,11 +94,6 @@ def _apply_wrap(wrap_kind, x):
     return jnp.where(wrap_kind == int(WrapMode.CLAMP), clamped, out)
 
 
-def _c4(rows):
-    """(B, 4) row-gather output -> 4 dense (B,) components (one fused pass)."""
-    return rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]
-
-
 def _level_info(ds: DeviceScene, level):
     """(offset, w_i, h_i) of a mip level — one packed gather."""
     lv = ds.lvl_pack[level]
@@ -111,13 +101,8 @@ def _level_info(ds: DeviceScene, level):
 
 
 def _fetch_texel(ds: DeviceScene, offset, w, x, y):
-    """Gather a texel from the mip atlas; x/y already clamped in range.
-    Returns 4 components."""
-    return _c4(ds.img_texels[offset + y * w + x])
-
-
-def _lerp4(a, b, t):
-    return tuple(av * (1.0 - t) + bv * t for av, bv in zip(a, b))
+    """Gather a texel from the mip atlas; x/y already clamped in range."""
+    return ds.img_texels[offset + y * w + x]
 
 
 def _bilerp(ds: DeviceScene, level, u, v):
@@ -130,15 +115,15 @@ def _bilerp(ds: DeviceScene, level, u, v):
     x1 = jnp.clip(jnp.ceil(x), 0.0, w - 1.0).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(y), 0.0, h - 1.0).astype(jnp.int32)
     y1 = jnp.clip(jnp.ceil(y), 0.0, h - 1.0).astype(jnp.int32)
-    xf = jnp.clip(x - jnp.floor(x), 0.0, 1.0)
-    yf = jnp.clip(y - jnp.floor(y), 0.0, 1.0)
+    xf = jnp.clip(x - jnp.floor(x), 0.0, 1.0)[:, None]
+    yf = jnp.clip(y - jnp.floor(y), 0.0, 1.0)[:, None]
     p00 = _fetch_texel(ds, offset, w_i, x0, y0)
     p01 = _fetch_texel(ds, offset, w_i, x1, y0)
     p10 = _fetch_texel(ds, offset, w_i, x0, y1)
     p11 = _fetch_texel(ds, offset, w_i, x1, y1)
-    u0 = _lerp4(p00, p01, xf)
-    u1 = _lerp4(p10, p11, xf)
-    return _lerp4(u0, u1, yf)
+    u0 = p00 * (1.0 - xf) + p01 * xf
+    u1 = p10 * (1.0 - xf) + p11 * xf
+    return u0 * (1.0 - yf) + u1 * yf
 
 
 def _point_sample(ds: DeviceScene, level, u, v):
@@ -164,21 +149,19 @@ def _mip_level_value(ds: DeviceScene, mip0, ctx: EvalCtx):
     return level, valid
 
 
-def _sel4(m, a, b):
-    return tuple(jnp.where(m, av, bv) for av, bv in zip(a, b))
-
-
-def _sample_image(ds: DeviceScene, ints, ctx: EvalCtx, has_derivs=True):
+def _sample_image(ds: DeviceScene, row, ints, ctx: EvalCtx, has_derivs=True):
     mip0 = jnp.maximum(ints[:, 0], 0)   # first mip level (baked by compiler)
     filt = ints[:, 4]
     wrap = ints[:, 5]
     n_levels = ints[:, 6]
-    u = _apply_wrap(wrap, ctx.u)
-    v = _apply_wrap(wrap, ctx.v)
+    u = _apply_wrap(wrap, ctx.uv[:, 0])
+    v = _apply_wrap(wrap, ctx.uv[:, 1])
 
     bilinear = _bilerp(ds, mip0, u, v)
     nearest = _point_sample(ds, mip0, u, v)
-    out = _sel4(filt == int(FilterMode.NEAREST), nearest, bilinear)
+    out = jnp.where(
+        (filt == int(FilterMode.NEAREST))[:, None], nearest, bilinear
+    )
     # has_derivs=False (static) ⇒ ctx derivatives are all zero ⇒ the mip
     # footprint is invalid and trilinear falls back to bilinear anyway —
     # skip the two extra mip taps (8 gathers/lane) entirely. Bit-exact.
@@ -187,20 +170,22 @@ def _sample_image(ds: DeviceScene, ints, ctx: EvalCtx, has_derivs=True):
         max_level = (n_levels - 1).astype(jnp.float32)
         lower = jnp.floor(jnp.clip(level, 0.0, max_level)).astype(jnp.int32)
         upper = jnp.ceil(jnp.clip(level, 0.0, max_level)).astype(jnp.int32)
-        t = level - jnp.floor(level)
+        t = (level - jnp.floor(level))[:, None]
         a = _bilerp(ds, mip0 + lower, u, v)
         b = _bilerp(ds, mip0 + upper, u, v)
-        tri = _sel4(valid, _lerp4(a, b, t), bilinear)
-        out = _sel4(filt == int(FilterMode.TRILINEAR), tri, out)
+        tri = jnp.where(valid[:, None], (1.0 - t) * a + t * b, bilinear)
+        out = jnp.where((filt == int(FilterMode.TRILINEAR))[:, None], tri, out)
     return out
 
 
-def _checker(row4, ctx: EvalCtx, has_derivs=True):
-    c1 = row4[0:4]
-    c2 = row4[4:8]
-    u = ctx.u - jnp.floor(ctx.u)
-    v = ctx.v - jnp.floor(ctx.v)
-    plain = _sel4((u > 0.5) != (v > 0.5), c1, c2)
+def _checker(row, ctx: EvalCtx, has_derivs=True):
+    c1 = row[:, 0:4]
+    c2 = row[:, 4:8]
+    u = ctx.uv[:, 0] - jnp.floor(ctx.uv[:, 0])
+    v = ctx.uv[:, 1] - jnp.floor(ctx.uv[:, 1])
+    plain = jnp.where(
+        ((u > 0.5) != (v > 0.5))[:, None], c1, c2
+    )
     # zero derivatives select the point-sampled path for every lane —
     # statically skip the erf AA transcendentals (bit-exact)
     if not has_derivs:
@@ -224,24 +209,26 @@ def _checker(row4, ctx: EvalCtx, has_derivs=True):
     y_factor = 0.5 * (1.0 + jax.scipy.special.erf(fold(v) / (sqrt2 * sigma)))
     x_factor = jnp.where(v > 0.5, x_factor, 1.0 - x_factor)
     y_factor = jnp.where(u > 0.5, y_factor, 1.0 - y_factor)
-    factor = x_factor * y_factor
-    aa = tuple(factor * a + (1.0 - factor) * b for a, b in zip(c1, c2))
-    return _sel4(point_sampled, plain, aa)
+    factor = (x_factor * y_factor)[:, None]
+    aa = factor * c1 + (1.0 - factor) * c2
+    return jnp.where(point_sampled[:, None], plain, aa)
 
 
 def _leaf_from_row(ds: DeviceScene, row, ctx: EvalCtx, has_derivs=True):
     kinds = ds.meta.tex_kinds_present
     ints = jax.lax.bitcast_convert_type(row[:, 8:16], jnp.int32)
     kind = ints[:, 3]
-    # one multi-output pass over the row gather: 8 value columns
-    row4 = tuple(row[:, i] for i in range(8))
-    out = row4[0:4]  # constant path covers CONSTANT (and default)
+    out = row[:, 0:4]  # constant path covers CONSTANT (and default)
     if TEX_IMAGE in kinds:
-        out = _sel4(
-            kind == TEX_IMAGE, _sample_image(ds, ints, ctx, has_derivs), out
+        out = jnp.where(
+            (kind == TEX_IMAGE)[:, None],
+            _sample_image(ds, row, ints, ctx, has_derivs),
+            out,
         )
     if TEX_CHECKER in kinds:
-        out = _sel4(kind == TEX_CHECKER, _checker(row4, ctx, has_derivs), out)
+        out = jnp.where(
+            (kind == TEX_CHECKER)[:, None], _checker(row, ctx, has_derivs), out
+        )
     return out
 
 
@@ -250,7 +237,7 @@ def _eval_leaf(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True):
 
 
 def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True):
-    """Evaluate texture ids (B,) at ctx -> 4 dense (B,) components (rgba).
+    """Evaluate texture ids (B,) at ctx -> (B, 4).
 
     has_derivs is a STATIC flag: False promises every ctx derivative is
     zero (secondary bounces, light/env lookups), which lets the trilinear
@@ -271,21 +258,13 @@ def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True):
         a = _eval_leaf(ds, jnp.clip(ints[:, 0], 0, hi), ctx, has_derivs)
         b = _eval_leaf(ds, jnp.clip(ints[:, 1], 0, hi), ctx, has_derivs)
         if TEX_SCALE in kinds:
-            out = _sel4(kind == TEX_SCALE,
-                        tuple(av * bv for av, bv in zip(a, b)), out)
+            out = jnp.where((kind == TEX_SCALE)[:, None], a * b, out)
         if TEX_MIX in kinds:
             c = _eval_leaf(ds, jnp.clip(ints[:, 2], 0, hi), ctx, has_derivs)
-            mixed = tuple(
-                (1.0 - cv) * av + cv * bv for av, bv, cv in zip(a, b, c)
+            out = jnp.where(
+                (kind == TEX_MIX)[:, None], (1.0 - c) * a + c * b, out
             )
-            out = _sel4(kind == TEX_MIX, mixed, out)
     return out
-
-
-def eval_texture_rgb(ds: DeviceScene, tid, ctx: EvalCtx,
-                     has_derivs=True) -> V3:
-    r, g, b, _ = eval_texture(ds, tid, ctx, has_derivs)
-    return V3(r, g, b)
 
 
 def texture_mip_level(ds: DeviceScene, tid, ctx: EvalCtx):

@@ -10,11 +10,6 @@ t tightens BVH pruning.
 
 Winning primitive encoding: prim < n_tris -> triangle index (BVH order);
 prim >= n_tris -> sphere index (prim - n_tris); prim < 0 -> miss.
-
-Ray origins/directions flow as lane-major V3 component triples (ops/vec.py
-layout rationale); public entry points also accept (B, 3) rows and convert
-at the boundary. Node/triangle table gathers stay row-major (one wide
-gather each) with components extracted per column.
 """
 from __future__ import annotations
 
@@ -27,9 +22,8 @@ from ..accel.bvh import MAX_LEAF_SIZE
 from ..device.scene_buffers import DeviceScene
 from .intersect import ray_aabb, ray_sphere, ray_triangle, sphere_hit_geom
 from .linalg import (
-    apply_point, apply_vector, apply_vector_transposed,
+    apply_point, apply_vector, apply_vector_transposed, cross, dot, normalize,
 )
-from .vec import V3
 
 INF = jnp.inf
 
@@ -39,15 +33,6 @@ import os as _os
 
 _USE_STACK = _os.environ.get("TPU_RT_TRAVERSAL", "stack") == "stack"
 _PALLAS_MODE = _os.environ.get("TPU_RT_PALLAS", "auto")  # auto | 1 | 0
-
-
-def _as_v3(a) -> V3:
-    return a if isinstance(a, V3) else V3.from_rows(a)
-
-
-def _row3(row, c0) -> V3:
-    """Three adjacent columns of a row gather as a V3."""
-    return V3(row[:, c0], row[:, c0 + 1], row[:, c0 + 2])
 
 
 def _use_pallas(ds) -> bool:
@@ -64,8 +49,8 @@ def _use_pallas(ds) -> bool:
 
 
 def _intersect_stack(
-    ds, origin: V3, direction: V3, t_min, t_max, t_best, best, active,
-    early_exit, blas=None,
+    ds, origin, direction, t_min, t_max, t_best, best, active, early_exit,
+    blas=None,
 ):
     """Near-first stack traversal over child-pair rows (ds.bvh2_rows).
 
@@ -83,7 +68,7 @@ def _intersect_stack(
     blas selects a shared-BLAS accel (instanced geometry, object-space
     rays) instead of the main world-space accel; `best` is BLAS-local.
     """
-    B = origin.x.shape[0]
+    B = origin.shape[0]
     if blas is None:
         bvh2_rows, tri_pack = ds.bvh2_rows, ds.tri_pack
         n_tris = ds.meta.n_tris
@@ -126,8 +111,8 @@ def _intersect_stack(
             cur, sp, stack = s
             live = (cur != DONE) & ~is_leaf(cur)
             row = bvh2_rows[jnp.maximum(cur >> 3, 0)]
-            tl0, tl1 = ray_aabb(origin, inv_dir, _row3(row, 0), _row3(row, 3))
-            tr0, tr1 = ray_aabb(origin, inv_dir, _row3(row, 6), _row3(row, 9))
+            tl0, tl1 = ray_aabb(origin, inv_dir, row[:, 0:3], row[:, 3:6])
+            tr0, tr1 = ray_aabb(origin, inv_dir, row[:, 6:9], row[:, 9:12])
             hit_l = (tl0 <= tl1) & (tl1 >= t_min) & (tl0 <= t_best)
             hit_r = (tr0 <= tr1) & (tr1 >= t_min) & (tr0 <= t_best)
             meta_l = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
@@ -169,14 +154,9 @@ def _intersect_stack(
         tid = jnp.minimum(first[:, None] + offs[None, :], n_tris - 1)
         lane_ok = do_leaf[:, None] & (offs[None, :] < count[:, None])
         pack = tri_pack[tid]
-        o_b = V3(origin.x[:, None], origin.y[:, None], origin.z[:, None])
-        d_b = V3(direction.x[:, None], direction.y[:, None],
-                 direction.z[:, None])
         valid, t, _, _ = ray_triangle(
-            o_b, d_b,
-            V3(pack[..., 0], pack[..., 1], pack[..., 2]),
-            V3(pack[..., 3], pack[..., 4], pack[..., 5]),
-            V3(pack[..., 6], pack[..., 7], pack[..., 8]),
+            origin[:, None, :], direction[:, None, :],
+            pack[..., 0:3], pack[..., 3:6], pack[..., 6:9],
             t_min[:, None], t_best[:, None],
         )
         t = jnp.where(valid & lane_ok, t, INF)
@@ -201,41 +181,28 @@ def _intersect_stack(
 
 
 class Hit(NamedTuple):
-    """SoA hit records (counterpart of accel.rs HitInfo).
-
-    Geometry fields are lane-major V3s; uv is split into dense u/v."""
+    """SoA hit records (counterpart of accel.rs HitInfo)."""
 
     hit: jax.Array       # (B,) bool
     t: jax.Array         # (B,) f32
     prim: jax.Array      # (B,) i32 encoded winner
-    u: jax.Array         # (B,)
-    v: jax.Array         # (B,)
-    point: V3            # world
-    normal: V3           # world, unit
-    dpdu: V3
-    dpdv: V3
+    uv: jax.Array        # (B, 2)
+    point: jax.Array     # (B, 3) world
+    normal: jax.Array    # (B, 3) world, unit
+    dpdu: jax.Array      # (B, 3)
+    dpdv: jax.Array      # (B, 3)
     material: jax.Array  # (B,) i32
     light: jax.Array     # (B,) i32 (-1 = not an emitter)
 
-    @property
-    def uv(self):
-        """(B, 2) rows (boundary convenience)."""
-        return jnp.stack([self.u, self.v], axis=-1)
 
-
-def _intersect_spheres(ds: DeviceScene, origin: V3, direction: V3,
-                       t_min, t_max):
+def _intersect_spheres(ds: DeviceScene, origin, direction, t_min, t_max):
     """Brute-force all spheres in object space. Returns (t, sphere_idx)."""
     S = ds.sph_center.shape[0]
-    # components (B, S): transform rays into each sphere's object space
-    o_b = V3(origin.x[:, None], origin.y[:, None], origin.z[:, None])
-    d_b = V3(direction.x[:, None], direction.y[:, None],
-             direction.z[:, None])
-    o_o = apply_point(ds.sph_w2o[None, :], o_b)
-    d_o = apply_vector(ds.sph_w2o[None, :], d_b)
-    ctr = V3(ds.sph_center[:, 0], ds.sph_center[:, 1], ds.sph_center[:, 2])
+    # (B, S, 3): transform rays into each sphere's object space
+    o_o = apply_point(ds.sph_w2o[None, :], origin[:, None, :])
+    d_o = apply_vector(ds.sph_w2o[None, :], direction[:, None, :])
     valid, t = ray_sphere(
-        o_o, d_o, ctr, ds.sph_radius[None, :],
+        o_o, d_o, ds.sph_center[None, :], ds.sph_radius[None, :],
         t_min[:, None], t_max[:, None],
     )
     # padded entries have radius 0 -> c = |omc|^2 > 0 unless ray at origin;
@@ -251,8 +218,8 @@ def _intersect_spheres(ds: DeviceScene, origin: V3, direction: V3,
 
 def intersect_scene(
     ds: DeviceScene,
-    origin,                # V3 or (B, 3)
-    direction,             # V3 or (B, 3)
+    origin: jax.Array,     # (B, 3)
+    direction: jax.Array,  # (B, 3)
     t_min: jax.Array,      # (B,)
     t_max: jax.Array,      # (B,)
     early_exit: bool = False,
@@ -265,9 +232,7 @@ def intersect_scene(
     (e.g. the integrator's once-per-bounce path-state sort); the Pallas
     path then skips its internal sort + permutation gathers.
     """
-    origin = _as_v3(origin)
-    direction = _as_v3(direction)
-    B = origin.x.shape[0]
+    B = origin.shape[0]
     n_tris = ds.meta.n_tris
     t_best = jnp.broadcast_to(t_max, (B,)).astype(jnp.float32)
     best = jnp.full((B,), -1, jnp.int32)
@@ -316,17 +281,15 @@ def intersect_scene(
             # TPU canonicalizes NaN payloads somewhere in the f32 path, so
             # bitcasting best (-1 = 0xFFFFFFFF, a NaN pattern) through f32
             # silently corrupts it into a positive int (fabricated hits)
-            packed = jnp.stack(
+            packed = jnp.concatenate(
                 [
-                    origin.x, origin.y, origin.z,
-                    direction.x, direction.y, direction.z,
-                    t_min, t_best,
-                    act0.astype(jnp.float32),
+                    origin, direction,
+                    t_min[:, None], t_best[:, None],
+                    act0.astype(jnp.float32)[:, None],
                 ],
                 axis=1,
             )[order]
-            s_o = _row3(packed, 0)
-            s_d = _row3(packed, 3)
+            s_o, s_d = packed[:, 0:3], packed[:, 3:6]
             s_tmin, s_tbest = packed[:, 6], packed[:, 7]
             s_act = packed[:, 8] > 0
             s_best = best[order]
@@ -348,8 +311,8 @@ def intersect_scene(
             for k, (_stk, cmn, cmx) in enumerate(ds.meta.t8_chunk_meta):
                 a0, a1 = ray_aabb(
                     s_o, s_inv0,
-                    V3.const(*[jnp.float32(c) for c in cmn]),
-                    V3.const(*[jnp.float32(c) for c in cmx]),
+                    jnp.broadcast_to(jnp.asarray(cmn, jnp.float32), (B, 3)),
+                    jnp.broadcast_to(jnp.asarray(cmx, jnp.float32), (B, 3)),
                 )
                 act_k = s_act & (a0 <= a1) & (a1 >= s_tmin) & (a0 <= s_tbest)
                 if early_exit:
@@ -377,10 +340,8 @@ def intersect_scene(
             d_l = apply_vector(w2o[None], s_d)
             a0, a1 = ray_aabb(
                 s_o, s_inv_dir,
-                V3(ds.inst_aabb_min[i][0], ds.inst_aabb_min[i][1],
-                   ds.inst_aabb_min[i][2]),
-                V3(ds.inst_aabb_max[i][0], ds.inst_aabb_max[i][1],
-                   ds.inst_aabb_max[i][2]),
+                jnp.broadcast_to(ds.inst_aabb_min[i], (B, 3)),
+                jnp.broadcast_to(ds.inst_aabb_max[i], (B, 3)),
             )
             act_i = s_act & (a0 <= a1) & (a1 >= s_tmin) & (a0 <= s_tbest)
             if early_exit:
@@ -421,10 +382,8 @@ def intersect_scene(
         d_l = apply_vector(w2o[None], direction)
         a0, a1 = ray_aabb(
             origin, inv_dir,
-            V3(ds.inst_aabb_min[i][0], ds.inst_aabb_min[i][1],
-               ds.inst_aabb_min[i][2]),
-            V3(ds.inst_aabb_max[i][0], ds.inst_aabb_max[i][1],
-               ds.inst_aabb_max[i][2]),
+            jnp.broadcast_to(ds.inst_aabb_min[i], (B, 3)),
+            jnp.broadcast_to(ds.inst_aabb_max[i], (B, 3)),
         )
         act_i = active & (a0 <= a1) & (a1 >= t_min) & (a0 <= t_best)
         if early_exit:
@@ -444,7 +403,7 @@ def intersect_scene(
 
 
 def _intersect_skiplink(
-    ds, origin: V3, direction: V3, t_min, t_best, best, active, early_exit
+    ds, origin, direction, t_min, t_best, best, active, early_exit
 ):
     """Skip-link walk over the main accel (debug/comparison fallback)."""
     n_tris = ds.meta.n_tris
@@ -478,7 +437,7 @@ def _intersect_skiplink(
             live = (node < sentinel) & (count == 0)
             nidx = jnp.minimum(node, n_nodes - 1)
             nd = ds.bvh_nodes[nidx]
-            t0, t1 = ray_aabb(origin, inv_dir, _row3(nd, 0), _row3(nd, 3))
+            t0, t1 = ray_aabb(origin, inv_dir, nd[:, 0:3], nd[:, 3:6])
             box_hit = (t0 <= t1) & (t1 >= t_min) & (t0 <= t_best) & live
             meta1 = jax.lax.bitcast_convert_type(nd[:, 6], jnp.int32)
             skip = jax.lax.bitcast_convert_type(nd[:, 7], jnp.int32)
@@ -508,14 +467,9 @@ def _intersect_skiplink(
         tid = jnp.minimum(first[:, None] + offs[None, :], n_tris - 1)
         lane_ok = do_leaf[:, None] & (offs[None, :] < count[:, None])
         pack = ds.tri_pack[tid]  # (B, L, 9)
-        o_b = V3(origin.x[:, None], origin.y[:, None], origin.z[:, None])
-        d_b = V3(direction.x[:, None], direction.y[:, None],
-                 direction.z[:, None])
         valid, t, _, _ = ray_triangle(
-            o_b, d_b,
-            V3(pack[..., 0], pack[..., 1], pack[..., 2]),
-            V3(pack[..., 3], pack[..., 4], pack[..., 5]),
-            V3(pack[..., 6], pack[..., 7], pack[..., 8]),
+            origin[:, None, :], direction[:, None, :],
+            pack[..., 0:3], pack[..., 3:6], pack[..., 6:9],
             t_min[:, None], t_best[:, None],
         )
         t = jnp.where(valid & lane_ok, t, INF)
@@ -554,23 +508,19 @@ def ray_sort_key(ds: DeviceScene, origin, direction):
     Rays sharing a key start near each other and point the same way, so
     lockstep tiles of sorted rays visit small node-set unions.
     """
-    origin = _as_v3(origin)
-    direction = _as_v3(direction)
-    c = V3(ds.bounds_center[0], ds.bounds_center[1], ds.bounds_center[2])
+    c = ds.bounds_center
     r = jnp.maximum(ds.bounds_radius, 1e-6)
-    q = (origin - c) / (2.0 * r) + 0.5
-    qx = jnp.clip(q.x, 0.0, 1.0)
-    qy = jnp.clip(q.y, 0.0, 1.0)
-    qz = jnp.clip(q.z, 0.0, 1.0)
+    q = jnp.clip((origin - c) / (2.0 * r) + 0.5, 0.0, 1.0)
+    qi = (q * 127.0).astype(jnp.int32)
     morton = (
-        _interleave3((qx * 127.0).astype(jnp.int32))
-        | (_interleave3((qy * 127.0).astype(jnp.int32)) << 1)
-        | (_interleave3((qz * 127.0).astype(jnp.int32)) << 2)
+        _interleave3(qi[:, 0])
+        | (_interleave3(qi[:, 1]) << 1)
+        | (_interleave3(qi[:, 2]) << 2)
     )
     octant = (
-        (direction.x < 0).astype(jnp.int32)
-        | ((direction.y < 0).astype(jnp.int32) << 1)
-        | ((direction.z < 0).astype(jnp.int32) << 2)
+        (direction[:, 0] < 0).astype(jnp.int32)
+        | ((direction[:, 1] < 0).astype(jnp.int32) << 1)
+        | ((direction[:, 2] < 0).astype(jnp.int32) << 2)
     )
     return (octant << 21) | morton
 
@@ -584,15 +534,13 @@ def hit_details(
     coordinates; spheres are recomputed in object space and transformed out
     (geometry.rs:92-136 semantics).
     """
-    origin = _as_v3(origin)
-    direction = _as_v3(direction)
-    B = origin.x.shape[0]
+    B = origin.shape[0]
     n_tris = ds.meta.n_tris
     instances = ds.meta.instances
     hit = prim >= 0
     is_tri = hit & (prim < n_tris)
 
-    point = origin + direction * t
+    point = origin + t[:, None] * direction
 
     # -------- triangle path: ONE wide gather replaces 13 narrow ones
     # (XLA TPU gathers cost ~the same per row regardless of width)
@@ -611,14 +559,15 @@ def hit_details(
         xf = ds.inst_xf[xf_id]                    # (B, 32)
         o2w = xf[:, :16].reshape(B, 4, 4)
         w2o = xf[:, 16:].reshape(B, 4, 4)
-        o_sel = V3.where(is_inst, apply_point(w2o, origin), origin)
-        d_sel = V3.where(is_inst, apply_vector(w2o, direction), direction)
+        sel_i = is_inst[:, None]
+        o_sel = jnp.where(sel_i, apply_point(w2o, origin), origin)
+        d_sel = jnp.where(sel_i, apply_vector(w2o, direction), direction)
     else:
         is_inst = None
         tid = jnp.clip(jnp.where(is_tri, prim, 0), 0, max(n_tris - 1, 0))
         o_sel, d_sel = origin, direction
     sh = ds.tri_shade[tid]                       # (B, 32)
-    p0, p1, p2 = _row3(sh, 0), _row3(sh, 3), _row3(sh, 6)
+    p0, p1, p2 = sh[:, 0:3], sh[:, 3:6], sh[:, 6:9]
     sh_ints = jax.lax.bitcast_convert_type(sh[:, 24:28], jnp.int32)
     # recompute barycentrics for the winning triangle (per-lane space:
     # local rays against local rows for instanced lanes, world otherwise)
@@ -627,51 +576,59 @@ def hit_details(
         jnp.full_like(t, -INF), jnp.full_like(t, INF),
     )
     w = 1.0 - u - v
-    geo_n = (p2 - p0).cross(p1 - p0).normalize()
-    sn = _row3(sh, 9) * w + _row3(sh, 12) * u + _row3(sh, 15) * v
-    tri_normal = V3.where(sh_ints[:, 2] != 0, sn.normalize(), geo_n)
-    has_uv = sh_ints[:, 3] != 0
-    uv0_u = jnp.where(has_uv, sh[:, 18], 0.0)
-    uv0_v = jnp.where(has_uv, sh[:, 19], 0.0)
-    uv1_u = jnp.where(has_uv, sh[:, 20], 1.0)
-    uv1_v = jnp.where(has_uv, sh[:, 21], 0.0)
-    uv2_u = jnp.where(has_uv, sh[:, 22], 0.0)
-    uv2_v = jnp.where(has_uv, sh[:, 23], 1.0)
-    tri_u = w * uv0_u + u * uv1_u + v * uv2_u
-    tri_v = w * uv0_v + u * uv1_v + v * uv2_v
+    geo_n = normalize(cross(p2 - p0, p1 - p0))
+    sn = (
+        w[:, None] * sh[:, 9:12]
+        + u[:, None] * sh[:, 12:15]
+        + v[:, None] * sh[:, 15:18]
+    )
+    tri_normal = jnp.where(
+        (sh_ints[:, 2] != 0)[:, None], normalize(sn), geo_n
+    )
+    default_uv0 = jnp.array([0.0, 0.0], jnp.float32)
+    default_uv1 = jnp.array([1.0, 0.0], jnp.float32)
+    default_uv2 = jnp.array([0.0, 1.0], jnp.float32)
+    has_uv = (sh_ints[:, 3] != 0)[:, None]
+    uv0 = jnp.where(has_uv, sh[:, 18:20], default_uv0)
+    uv1 = jnp.where(has_uv, sh[:, 20:22], default_uv1)
+    uv2 = jnp.where(has_uv, sh[:, 22:24], default_uv2)
+    tri_uv = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
     # pbrt 4ed eq. 6.7
-    duv02_u, duv02_v = uv0_u - uv2_u, uv0_v - uv2_v
-    duv12_u, duv12_v = uv1_u - uv2_u, uv1_v - uv2_v
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
     dp02 = p0 - p2
     dp12 = p1 - p2
-    det = duv02_u * duv12_v - duv02_v * duv12_u
+    det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
     degenerate = jnp.abs(det) < 1e-9
     inv_det = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, det))
-    tri_dpdu = (dp02 * duv12_v - dp12 * duv02_v) * inv_det
-    tri_dpdv = (dp12 * duv02_u - dp02 * duv12_u) * inv_det
+    tri_dpdu = inv_det[:, None] * (
+        duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12
+    )
+    tri_dpdv = inv_det[:, None] * (
+        duv02[:, 0:1] * dp12 - duv12[:, 0:1] * dp02
+    )
     tri_mat = sh_ints[:, 0]
     tri_light = sh_ints[:, 1]
 
     if instances:
         # instanced lanes computed in object space: transform out (normals
         # via inverse-transpose — geometry.rs:92-136 / transform.rs:67-72)
-        tri_normal = V3.where(
-            is_inst, apply_vector_transposed(w2o, tri_normal).normalize(),
+        tri_normal = jnp.where(
+            sel_i, normalize(apply_vector_transposed(w2o, tri_normal)),
             tri_normal,
         )
-        tri_dpdu = V3.where(is_inst, apply_vector(o2w, tri_dpdu), tri_dpdu)
-        tri_dpdv = V3.where(is_inst, apply_vector(o2w, tri_dpdv), tri_dpdv)
+        tri_dpdu = jnp.where(sel_i, apply_vector(o2w, tri_dpdu), tri_dpdu)
+        tri_dpdv = jnp.where(sel_i, apply_vector(o2w, tri_dpdv), tri_dpdv)
         is_tri = is_tri | is_inst
 
     # -------- sphere path
     if ds.meta.n_spheres:
-        sid = jnp.clip(jnp.where(is_tri, 0, prim - n_tris), 0,
-                       ds.sph_center.shape[0] - 1)
+        sid = jnp.clip(jnp.where(is_tri, 0, prim - n_tris), 0, ds.sph_center.shape[0] - 1)
         w2o = ds.sph_w2o[sid]
         o2w = ds.sph_o2w[sid]
         o_o = apply_point(w2o, origin)
         d_o = apply_vector(w2o, direction)
-        p_o = o_o + d_o * t
+        p_o = o_o + t[:, None] * d_o
         # robust sphere hit point: reproject onto the surface and inflate
         # a few ULPs outward. o + t*d rounding can land the point INSIDE
         # the sphere; a grazing reflection from an inside point re-enters
@@ -682,47 +639,44 @@ def hit_details(
         # re-hit by any reflected ray, and transmitted rays re-enter at
         # t ~ 1e-7 << t_min. (Robustness fix over geometry.rs:92-136,
         # which keeps the raw o + t*d point.)
-        ctr_rows = ds.sph_center[sid]
-        ctr = V3(ctr_rows[:, 0], ctr_rows[:, 1], ctr_rows[:, 2])
-        radius = ds.sph_radius[sid]
+        ctr = ds.sph_center[sid]
         rel = p_o - ctr
-        rn = rel.norm()
+        rn = jnp.sqrt(jnp.sum(rel * rel, axis=-1, keepdims=True))
         safe_rn = jnp.where(rn == 0.0, 1.0, rn)
-        p_o = ctr + rel * (radius / safe_rn) * (1.0 + 4.0e-7)
-        (sph_u, sph_v), n_o, dpdu_o, dpdv_o = sphere_hit_geom(
-            p_o, ctr, radius
+        p_o = ctr + rel * (
+            ds.sph_radius[sid][:, None] / safe_rn) * (1.0 + 4.0e-7)
+        sph_uv, n_o, dpdu_o, dpdv_o = sphere_hit_geom(
+            p_o, ctr, ds.sph_radius[sid]
         )
         sph_point = apply_point(o2w, p_o)
-        sph_normal = apply_vector_transposed(w2o, n_o).normalize()
+        sph_normal = normalize(apply_vector_transposed(w2o, n_o))
         sph_dpdu = apply_vector(o2w, dpdu_o)
         sph_dpdv = apply_vector(o2w, dpdv_o)
         sph_mat = ds.sph_mat[sid]
         sph_light = ds.sph_light[sid]
 
-        hu = jnp.where(is_tri, tri_u, sph_u)
-        hv = jnp.where(is_tri, tri_v, sph_v)
-        point = V3.where(is_tri, point, sph_point)
-        normal = V3.where(is_tri, tri_normal, sph_normal)
-        dpdu = V3.where(is_tri, tri_dpdu, sph_dpdu)
-        dpdv = V3.where(is_tri, tri_dpdv, sph_dpdv)
+        sel = is_tri[:, None]
+        uv = jnp.where(sel, tri_uv, sph_uv)
+        point = jnp.where(sel, point, sph_point)
+        normal = jnp.where(sel, tri_normal, sph_normal)
+        dpdu = jnp.where(sel, tri_dpdu, sph_dpdu)
+        dpdv = jnp.where(sel, tri_dpdv, sph_dpdv)
         material = jnp.where(is_tri, tri_mat, sph_mat)
         light = jnp.where(is_tri, tri_light, sph_light)
     else:
-        hu, hv = tri_u, tri_v
-        normal, dpdu, dpdv = tri_normal, tri_dpdu, tri_dpdv
+        uv, normal, dpdu, dpdv = tri_uv, tri_normal, tri_dpdu, tri_dpdv
         material, light = tri_mat, tri_light
 
-    zero3 = V3.zeros((B,), jnp.float32)
+    zero3 = jnp.zeros((B, 3), jnp.float32)
     return Hit(
         hit=hit,
         t=jnp.where(hit, t, INF),
         prim=prim,
-        u=jnp.where(hit, hu, 0.0),
-        v=jnp.where(hit, hv, 0.0),
-        point=V3.where(hit, point, zero3),
-        normal=V3.where(hit, normal, zero3),
-        dpdu=V3.where(hit, dpdu, zero3),
-        dpdv=V3.where(hit, dpdv, zero3),
+        uv=jnp.where(hit[:, None], uv, jnp.zeros((B, 2), jnp.float32)),
+        point=jnp.where(hit[:, None], point, zero3),
+        normal=jnp.where(hit[:, None], normal, zero3),
+        dpdu=jnp.where(hit[:, None], dpdu, zero3),
+        dpdv=jnp.where(hit[:, None], dpdv, zero3),
         material=jnp.where(hit, material, 0),
         light=jnp.where(hit, light, -1),
     )

@@ -1284,13 +1284,7 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
         n, m, t = ds.t8_chunks[t8_chunk]
         stk = ds.meta.t8_chunk_meta[t8_chunk][0]
         av = av._replace(t8_nodes=n, t8_meta=m, t8_tris=t, t8_stack=stk)
-    from .vec import V3
-
-    if not isinstance(origin, V3):
-        origin = V3.from_rows(origin)
-    if not isinstance(direction, V3):
-        direction = V3.from_rows(direction)
-    B = origin.x.shape[0]
+    B = origin.shape[0]
     kind = _kernel_kind()
     k = tile_k()
     tsub = t8_rows() if kind == "bvh8t" else SUB * k
@@ -1303,8 +1297,9 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
         return x.reshape(total // LANE, LANE)
 
     cols = (
-        col(origin.x, 0.0), col(origin.y, 0.0), col(origin.z, 0.0),
-        col(direction.x, 1.0), col(direction.y, 1.0), col(direction.z, 1.0),
+        col(origin[:, 0], 0.0), col(origin[:, 1], 0.0), col(origin[:, 2], 0.0),
+        col(direction[:, 0], 1.0), col(direction[:, 1], 1.0),
+        col(direction[:, 2], 1.0),
         col(t_min, 0.0), col(t_max, -1.0),
         col(active.astype(jnp.int32), 0),
     )

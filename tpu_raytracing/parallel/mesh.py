@@ -9,13 +9,10 @@ stealing), and high-spp renders additionally shard the sample loop over an
 (``jax.lax.psum``).
 
 Determinism contract: RNG streams are keyed by (pixel, sample), never by
-worker (ops/rng.py), so the sharded step is bit-identical for any ``tiles``
-mesh size — the same property the reference guarantees across thread
-counts (visual-testing/README.md:103). Sharding ``spp`` changes only the
-floating-point summation order of per-sample radiance. The SPMD executable
-tracks the single-device one to FMA-contraction ULPs (XLA's SPMD pipeline
-canonicalizes commutative operand order differently; see CLAUDE.md
-invariants), so cross-path comparisons are a tight band, not bitwise.
+worker (ops/rng.py), so images are bit-identical for any ``tiles`` sharding
+— the same property the reference guarantees across thread counts
+(visual-testing/README.md:103). Sharding ``spp`` changes only the floating-
+point summation order of per-sample radiance.
 """
 from __future__ import annotations
 
