@@ -40,7 +40,7 @@ from ..ops.light_sampling import (
     environment_radiance, light_emitted_radiance, sample_light,
 )
 from ..ops.linalg import dot, make_orthonormal_basis
-from ..ops.rng import SamplerConfig, make_stream
+from ..ops.rng import SamplerConfig, SampleStream, make_stream
 from ..ops.textures import (
     EvalCtx, eval_ctx_from_differentials, eval_texture, texture_mip_level,
 )
@@ -130,20 +130,75 @@ def trace_radiance(
         and _os.environ.get("TPU_RT_BOUNCE_SORT", "1") == "1"
     )
 
-    state = dict(
-        depth=jnp.zeros((), jnp.int32),
-        ray_o=ray_o,
-        ray_d=ray_d,
-        alive=jnp.ones(B_, bool) if active is None else active,
-        specular=jnp.ones(B_, bool),
-        radiance=jnp.zeros((B_, 3), f32),
-        path_weight=jnp.ones((B_, 3), f32),
-        stream=stream,
-        rays=jnp.zeros((), jnp.int32),
-        src=jnp.arange(B_, dtype=jnp.int32),
-    )
+    _ib = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+        a, jnp.int32)[:, None]
+    _ru = lambda c: jax.lax.bitcast_convert_type(  # noqa: E731
+        c, jnp.uint32)
+
+    def _pack(ray_o, ray_d, radiance, pw, alive, specular, stream, src):
+        """Path state as TWO wide row matrices ((B,14) f32 + (B,5) i32).
+
+        When the bounce sort is on, these packs ARE the while carry: the
+        sorted matrices cross the loop boundary directly, so the carry
+        holds 2 wide buffers instead of ~12 narrow ones — XLA's memory-
+        space assignment issues per-buffer async copies around the while
+        body every iteration, and the narrow-carry churn measured ~15%
+        of wall (docs/PERF_LOG.md round 3, lane-major V3 post-mortem).
+        Int lanes stay in the INTEGER domain (the TPU canonicalizes
+        NaN/denormal f32 bit patterns)."""
+        pk = jnp.concatenate(
+            [
+                ray_o, ray_d, radiance, pw,
+                alive.astype(f32)[:, None],
+                specular.astype(f32)[:, None],
+            ],
+            axis=1,
+        )
+        pk_i = jnp.concatenate(
+            [_ib(stream.px), _ib(stream.py), _ib(stream.sample),
+             _ib(stream.dim), src[:, None]],
+            axis=1,
+        )
+        return pk, pk_i
+
+    def _unpack(pk, pk_i):
+        stream = SampleStream(
+            px=_ru(pk_i[:, 0]), py=_ru(pk_i[:, 1]),
+            sample=_ru(pk_i[:, 2]), dim=_ru(pk_i[:, 3]),
+        )
+        return (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9], pk[:, 9:12],
+                pk[:, 12] > 0, pk[:, 13] > 0, stream, pk_i[:, 4])
+
+    alive0 = jnp.ones(B_, bool) if active is None else active
+    if sort_bounces:
+        pk0, pki0 = _pack(
+            ray_o, ray_d, jnp.zeros((B_, 3), f32), jnp.ones((B_, 3), f32),
+            alive0, jnp.ones(B_, bool), stream,
+            jnp.arange(B_, dtype=jnp.int32),
+        )
+        state = dict(
+            depth=jnp.zeros((), jnp.int32),
+            pk=pk0,
+            pk_i=pki0,
+            rays=jnp.zeros((), jnp.int32),
+        )
+    else:
+        state = dict(
+            depth=jnp.zeros((), jnp.int32),
+            ray_o=ray_o,
+            ray_d=ray_d,
+            alive=alive0,
+            specular=jnp.ones(B_, bool),
+            radiance=jnp.zeros((B_, 3), f32),
+            path_weight=jnp.ones((B_, 3), f32),
+            stream=stream,
+            rays=jnp.zeros((), jnp.int32),
+            src=jnp.arange(B_, dtype=jnp.int32),
+        )
 
     def cond(s):
+        if sort_bounces:
+            return jnp.any(s["pk"][:, 12] > 0)
         return jnp.any(s["alive"])
 
     def body(s, static_primary=None):
@@ -154,11 +209,16 @@ def trace_radiance(
         # secondary bounces carry zero uv footprints, so the skip is
         # bit-exact); None = unspecialized (regen path semantics).
         depth = s["depth"]
-        alive = s["alive"]
-        ray_o, ray_d = s["ray_o"], s["ray_d"]
-        radiance, pw = s["radiance"], s["path_weight"]
-        specular = s["specular"]
-        stream = s["stream"]
+        if sort_bounces:
+            (ray_o, ray_d, radiance, pw, alive, specular, stream,
+             src) = _unpack(s["pk"], s["pk_i"])
+        else:
+            alive = s["alive"]
+            ray_o, ray_d = s["ray_o"], s["ray_d"]
+            radiance, pw = s["radiance"], s["path_weight"]
+            specular = s["specular"]
+            stream = s["stream"]
+            src = s["src"]
 
         rays = s["rays"] + jnp.sum(alive.astype(jnp.int32))
 
@@ -275,11 +335,10 @@ def trace_radiance(
         ray_o = jnp.where(alive[:, None], hit.point, ray_o)
         ray_d = jnp.where(alive[:, None], new_d, ray_d)
 
-        src = s["src"]
         if sort_bounces:
             # permute the whole path state toward the NEXT bounce's ray
             # coherence; dead lanes sort last so their lockstep tiles
-            # terminate at the root.
+            # terminate at the root. The sorted packs ARE the carry.
             # NOTE: the closure-captured ray differentials `diff` are NOT
             # permuted — structurally safe: differentials are consumed only
             # in the PEELED depth-0 bounce (static_primary=True), which runs
@@ -289,34 +348,12 @@ def trace_radiance(
             key = key | ((~alive).astype(jnp.int32) << 25)
             iota = jnp.arange(B_, dtype=jnp.int32)
             _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
-            pk = jnp.concatenate(
-                [
-                    ray_o, ray_d, radiance, pw,
-                    alive.astype(f32)[:, None],
-                    specular.astype(f32)[:, None],
-                ],
-                axis=1,
-            )[order]
-            # int lanes stay in the INTEGER domain across the permutation
-            # (the TPU canonicalizes NaN/denormal f32 bit patterns)
-            u32 = jnp.uint32
-            ib = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
-                a, jnp.int32)[:, None]
-            pk_i = jnp.concatenate(
-                [ib(stream.px), ib(stream.py), ib(stream.sample),
-                 ib(stream.dim), src[:, None]],
-                axis=1,
-            )[order]
-            ray_o, ray_d = pk[:, 0:3], pk[:, 3:6]
-            radiance, pw = pk[:, 6:9], pk[:, 9:12]
-            alive = pk[:, 12] > 0
-            specular = pk[:, 13] > 0
-            reu = lambda c: jax.lax.bitcast_convert_type(  # noqa: E731
-                pk_i[:, c], u32)
-            stream = stream._replace(
-                px=reu(0), py=reu(1), sample=reu(2), dim=reu(3),
+            pk, pk_i = _pack(
+                ray_o, ray_d, radiance, pw, alive, specular, stream, src
             )
-            src = pk_i[:, 4]
+            return dict(
+                depth=depth, pk=pk[order], pk_i=pk_i[order], rays=rays
+            )
 
         return dict(
             depth=depth,
@@ -338,11 +375,12 @@ def trace_radiance(
     out = jax.lax.while_loop(
         cond, lambda s: body(s, static_primary=False), state
     )
-    radiance = out["radiance"]
     if sort_bounces:
         iota = jnp.arange(B_, dtype=jnp.int32)
-        _, inv = jax.lax.sort_key_val(out["src"], iota, is_stable=True)
-        radiance = radiance[inv]
+        _, inv = jax.lax.sort_key_val(out["pk_i"][:, 4], iota, is_stable=True)
+        radiance = out["pk"][:, 6:9][inv]
+    else:
+        radiance = out["radiance"]
     return radiance, out["rays"]
 
 
