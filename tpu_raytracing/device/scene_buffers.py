@@ -458,7 +458,9 @@ G8_PER_BLOCK = 12  # tri groups per (8, 128) tri block (10 lanes each)
 
 def _t8_width() -> int:
     """Transposed-node child count (8 = one sublane block, 16 = two)."""
-    w = int(os.environ.get("TPU_RT_T8_W", "8"))
+    # 16 wins on the honest (post-recalibration) renderer with NW=1/R=4:
+    # round-3 sweep, docs/PERF_LOG.md "Round-3 knob re-sweep"
+    w = int(os.environ.get("TPU_RT_T8_W", "16"))
     assert w in (8, 16)
     return w
 

@@ -1171,17 +1171,27 @@ def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
 
 
 def t8_rows() -> int:
-    """Ray rows per bvh8t walk tile (tile = rows*128 rays)."""
+    """Ray rows per bvh8t walk tile (tile = rows*128 rays).
+
+    Default 4 (with W=16/NW=1) from the round-3 honest knob re-sweep —
+    the round-2 R=8/NW=2 choice was measured on the corrupted renderer
+    (docs/PERF_LOG.md). Must be >= 4 (Mosaic sublane-tile constraints
+    reject R=1/2)."""
     import os as _o
 
-    return max(1, int(_o.environ.get("TPU_RT_T8_R", "8")))
+    return max(1, int(_o.environ.get("TPU_RT_T8_R", "4")))
 
 
 def t8_nwalk() -> int:
-    """Interleaved independent walks per while body (latency hiding)."""
+    """Interleaved independent walks per while body (latency hiding).
+
+    Default 1: on the honest renderer interleaving LOSES (round-3
+    re-sweep: NW=1 4.53 vs NW=2 4.11 vs NW=4 3.76 at W=8R=8) — the body
+    is scalar-throughput-bound, so a second walk only lengthens the
+    serial scalar program per iteration."""
     import os as _o
 
-    return max(1, int(_o.environ.get("TPU_RT_T8_NWALK", "2")))
+    return max(1, int(_o.environ.get("TPU_RT_T8_NWALK", "1")))
 
 
 @partial(jax.jit, static_argnums=(0, 3))
