@@ -215,6 +215,36 @@ def test_bvh8t_chunked_big_scene(monkeypatch):
         np.asarray(t_c)[sel], np.asarray(t_ref)[sel], rtol=1e-5)
 
 
+def test_bvh8t_width32_parity(monkeypatch):
+    """32-wide transposed nodes (four sublane blocks, full-int32 masks,
+    dual-slot SMEM stack, 6-bit meta fields) stay bit-faithful. The mask
+    occupies all 32 bits including the sign bit — this exercises the
+    wrapped-constant _ffs path and the ni==32 push guard."""
+    monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "bvh8t")
+    monkeypatch.setenv("TPU_RT_T8_W", "32")
+    ds = compile_scene(get_test_scene("coated_diffuse_bunny").scene_func())
+    assert ds.meta.t8_width == 32
+    B = 2048
+    o, d = _rays(ds, B, 17)
+    tmin = jnp.full(B, 1e-3)
+    tmax = jnp.full(B, jnp.inf)
+    t_ref, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)
+    t_p, p_p = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool),
+    )
+    p_ref, p_p = np.asarray(p_ref), np.asarray(p_p)
+    tri_lanes = p_ref < ds.meta.n_tris
+    np.testing.assert_array_equal(p_ref[tri_lanes], p_p[tri_lanes])
+    # early-exit (shadow) variant must agree on hit/miss
+    _, p_s = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool), early_exit=True,
+    )
+    np.testing.assert_array_equal(
+        (np.asarray(p_s) >= 0)[tri_lanes], (p_ref >= 0)[tri_lanes])
+
+
 def test_bvh8t_width16_parity(monkeypatch):
     """16-wide transposed nodes (two sublane blocks, 16-bit masks) stay
     bit-faithful; scene compiled fresh under TPU_RT_T8_W=16."""

@@ -457,12 +457,20 @@ G8_PER_BLOCK = 12  # tri groups per (8, 128) tri block (10 lanes each)
 
 
 def _t8_width() -> int:
-    """Transposed-node child count (8 = one sublane block, 16 = two)."""
+    """Transposed-node child count (sublane blocks: 8 = one, 16 = two,
+    32 = four)."""
     # 16 wins on the honest (post-recalibration) renderer with NW=1/R=4:
     # round-3 sweep, docs/PERF_LOG.md "Round-3 knob re-sweep"
     w = int(os.environ.get("TPU_RT_T8_W", "16"))
-    assert w in (8, 16)
+    assert w in (8, 16, 32)
     return w
+
+
+def _t8_fld(w: int) -> int:
+    """Meta bit-field width for child counts (ni/nl can reach 32 at
+    w=32, so the count field grows to 6 bits there; 5 otherwise keeps
+    the w=8/16 layouts byte-identical to round 2)."""
+    return 6 if w == 32 else 5
 
 
 def _bvh8t_layout(bvh, tri_pack):
@@ -566,12 +574,13 @@ def _bvh8t_layout(bvh, tri_pack):
     node_blocks = np.full((nb * w, 128), np.nan, F)
     meta = np.zeros((n8, 2), np.int32)
     groups = []
+    fld = _t8_fld(w)
     for nid in range(n8):
         ints, lvs = node_slots[nid]
         ni, nl = len(ints), len(lvs)
         lb = len(groups)
-        meta[nid, 0] = (child_base[nid] << 5) | ni
-        meta[nid, 1] = (lb << 5) | nl
+        meta[nid, 0] = (child_base[nid] << fld) | ni
+        meta[nid, 1] = (lb << fld) | nl
         b, g = divmod(nid, N8_PER_BLOCK)
         for s, c in enumerate(ints):
             node_blocks[b * w + s, g * 8:g * 8 + 3] = bvh.node_min[c]

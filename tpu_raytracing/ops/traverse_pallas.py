@@ -896,9 +896,28 @@ N8T_PER_BLOCK = 16   # nodes per (8, 128) node block (8 lanes each)
 G8T_PER_BLOCK = 12   # tri groups per (8, 128) tri block (10 lanes each)
 
 
+def _i32(x: int):
+    """int32 constant with two's-complement wrap (0xFFFF0000 etc.)."""
+    return jnp.int32(x - (1 << 32) if x >= (1 << 31) else x)
+
+
 def _ffs(m, w: int):
-    """Bit index of the lowest set bit of a w-bit scalar mask (m != 0)."""
+    """Bit index of the lowest set bit of a w-bit scalar mask (m != 0).
+
+    For w=32 the mask occupies the full int32 (bit 31 = sign bit); all
+    the arithmetic below is two's-complement-wrap safe: m & (-m) isolates
+    the low bit even for INT32_MIN, and the magic comparands are wrapped
+    int32 constants."""
     low = m & (-m)
+    if w == 32:
+        slot = (
+            ((low & _i32(0xAAAAAAAA)) != 0).astype(jnp.int32)
+            | (((low & _i32(0xCCCCCCCC)) != 0).astype(jnp.int32) << 1)
+            | (((low & _i32(0xF0F0F0F0)) != 0).astype(jnp.int32) << 2)
+            | (((low & _i32(0xFF00FF00)) != 0).astype(jnp.int32) << 3)
+            | (((low & _i32(0xFFFF0000)) != 0).astype(jnp.int32) << 4)
+        )
+        return slot, low
     slot = (
         ((low & 0xAAAA) != 0).astype(jnp.int32)
         | (((low & 0xCCCC) != 0).astype(jnp.int32) << 1)
@@ -946,6 +965,8 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
             return jnp.roll(x, -sh, axis=1)
         return pltpu.roll(x, (LANE - sh) % LANE, axis=1)
 
+    FLD = 6 if W == 32 else 5  # meta child-count field width (builder _t8_fld)
+
     def kernel(nodes_ref, tris_ref, meta_ref,
                ox, oy, oz, dx, dy, dz, tmn, tmx, act,
                t_out, best_out, visits_out, stack_ref):
@@ -976,7 +997,13 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                 inv = tuple(1.0 / c for c in d)
                 rays.append((o, d, inv, tmn[sl, :],
                              (act[sl, :] > 0).astype(jnp.int32)))
-                stack_ref[wk * STACK_CAP] = jnp.int32(1)  # root entry
+                if W == 32:
+                    # dual-slot stack: (base, mask) int32 pairs — a 32-bit
+                    # mask can't share an int32 with its base
+                    stack_ref[wk * STACK_CAP * 2] = jnp.int32(0)
+                    stack_ref[wk * STACK_CAP * 2 + 1] = jnp.int32(1)
+                else:
+                    stack_ref[wk * STACK_CAP] = jnp.int32(1)  # root entry
 
             def visit(wk, st):
                 """One node visit of walk wk (no-op when its stack is
@@ -985,22 +1012,30 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                 o, d, inv, t_min, live0 = rays[wk]
                 walk_on = (sp > 0).astype(jnp.int32)
                 nv = nv + walk_on
-                e = stack_ref[wk * STACK_CAP + jnp.maximum(sp - 1, 0)]
-                mask = e & ((1 << W) - 1)
-                base = jax.lax.shift_right_logical(e, W)
-                slot, low = _ffs(mask, W)
-                rem = mask - low
-                stack_ref[wk * STACK_CAP + jnp.maximum(sp - 1, 0)] = (
-                    (base << W) | rem)
+                if W == 32:
+                    top = wk * STACK_CAP * 2 + 2 * jnp.maximum(sp - 1, 0)
+                    base = stack_ref[top]
+                    mask = stack_ref[top + 1]
+                    slot, low = _ffs(mask, W)
+                    rem = mask - low
+                    stack_ref[top + 1] = rem
+                else:
+                    e = stack_ref[wk * STACK_CAP + jnp.maximum(sp - 1, 0)]
+                    mask = e & ((1 << W) - 1)
+                    base = jax.lax.shift_right_logical(e, W)
+                    slot, low = _ffs(mask, W)
+                    rem = mask - low
+                    stack_ref[wk * STACK_CAP + jnp.maximum(sp - 1, 0)] = (
+                        (base << W) | rem)
                 sp = jnp.where((rem == 0) & (sp > 0), sp - 1, sp)
                 nid = jnp.where(walk_on > 0, base + slot, 0)
 
                 m0 = meta_ref[nid, 0]
                 m1 = meta_ref[nid, 1]
-                cbase = jax.lax.shift_right_logical(m0, 5)
-                ni = m0 & 31
-                lbase = jax.lax.shift_right_logical(m1, 5)
-                nl = m1 & 31
+                cbase = jax.lax.shift_right_logical(m0, FLD)
+                ni = m0 & ((1 << FLD) - 1)
+                lbase = jax.lax.shift_right_logical(m1, FLD)
+                nl = m1 & ((1 << FLD) - 1)
 
                 blk = nodes_ref[pl.ds((nid // N8T_PER_BLOCK) * W, W), :]
                 blk = roll_lanes(blk, (nid % N8T_PER_BLOCK) * 8)
@@ -1040,11 +1075,23 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                 if early_exit:
                     aw = jnp.sum(want)
 
-                imask = mask_s & ((jnp.int32(1) << ni) - 1)
+                if W == 32:
+                    # ni may be 32 (full internal fan-out): 1<<32 is UB in
+                    # int32, so clamp the shift and select the full mask
+                    part = mask_s & ((jnp.int32(1) << (ni & 31)) - 1)
+                    imask = jnp.where(ni >= 32, mask_s, part)
 
-                @pl.when(imask != 0)
-                def _():
-                    stack_ref[wk * STACK_CAP + sp] = (cbase << W) | imask
+                    @pl.when(imask != 0)
+                    def _():
+                        pos = wk * STACK_CAP * 2 + 2 * sp
+                        stack_ref[pos] = cbase
+                        stack_ref[pos + 1] = imask
+                else:
+                    imask = mask_s & ((jnp.int32(1) << ni) - 1)
+
+                    @pl.when(imask != 0)
+                    def _():
+                        stack_ref[wk * STACK_CAP + sp] = (cbase << W) | imask
 
                 sp = jnp.where(imask != 0, sp + 1, sp)
 
@@ -1165,7 +1212,8 @@ def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
         in_specs=[full, full, pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [full] * 9,
         out_specs=(full, full, pl.BlockSpec(memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.SMEM((NW * STACK_CAP,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM(
+            (NW * STACK_CAP * (2 if W == 32 else 1),), jnp.int32)],
         interpret=interpret,
     )(nodes, tris, meta, *cols)
 
