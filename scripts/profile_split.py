@@ -54,7 +54,8 @@ def main():
     from tpu_raytracing.settings import AovFlags, RaytracerSettings
 
     log(f"backend={jax.default_backend()}")
-    glb = Path("/root/reference/scenes/cbbunny_area_light.glb")
+    name = os.environ.get("PROFILE_SCENE", "cbbunny_area_light")
+    glb = Path(f"/root/reference/scenes/{name}.glb")
     scene = scene_from_file(glb)
     spp = int(os.environ.get("BENCH_SPP", "8"))
     settings = RaytracerSettings(

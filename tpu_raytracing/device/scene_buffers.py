@@ -99,9 +99,11 @@ class SceneMeta:
     bvh4_stack: int = 4
     # rowrec (switch-free) walk: root meta in rowrec leaf numbering
     root_meta4r: int = -1
-    # transposed BVH8 walk (bvh8t): stack bound + node width (8 or 16)
+    # transposed BVH8 walk (bvh8t): stack bound + node width (8/16/32)
     t8_stack: int = 4
     t8_width: int = 8
+    # tris per merged bvh8t leaf group (sublane rows per tri block)
+    t8_leaf: int = 8
     # big-scene chunked accel: per-chunk (stack, root_min3, root_max3)
     t8_chunk_meta: Tuple[Tuple, ...] = ()
     # instancing (TLAS-over-shared-BLAS equivalent): per-BLAS statics
@@ -466,6 +468,18 @@ def _t8_width() -> int:
     return w
 
 
+def _t8_lg() -> int:
+    """Tris per merged bvh8t leaf group (sublane rows per tri block).
+
+    Default 16 (round-3 A/B: cbbunny 4.85 -> 5.50 Mrays/s): halves the
+    number of leaf iterations (each ~2.2-2.6us of serial per-iteration
+    wall, docs/PERF_LOG.md round 3) at the cost of testing up to 2x the
+    tris per visited group."""
+    lg = int(os.environ.get("TPU_RT_T8_LG", "16"))
+    assert lg in (8, 16, 32)
+    return lg
+
+
 def _t8_fld(w: int) -> int:
     """Meta bit-field width for child counts (ni/nl can reach 32 at
     w=32, so the count field grows to 6 bits there; 5 otherwise keeps
@@ -512,10 +526,11 @@ def _bvh8t_layout(bvh, tri_pack):
              tri_blocks (G*8, 128) f32, stack_bound).
     """
     w = _t8_width()
+    lg = _t8_lg()
     count = bvh.count
     n2 = count.shape[0]
     empty = (np.full((w, 128), np.nan, F), np.zeros((1, 2), np.int32),
-             np.zeros((8, 128), F), 4)
+             np.zeros((lg, 128), F), 4)
     if bvh.prim_order.shape[0] == 0:
         return empty
 
@@ -537,7 +552,7 @@ def _bvh8t_layout(bvh, tri_pack):
     skip = bvh.skip
 
     def mergeable(i):
-        return count[i] > 0 or total[i] <= LEAF8_MAX
+        return count[i] > 0 or total[i] <= lg
 
     # BFS collapse; node id = queue position; internal children contiguous
     queue = [0]
@@ -592,16 +607,16 @@ def _bvh8t_layout(bvh, tri_pack):
             groups.append((int(first[c]), int(total[c])))
 
     gb = _round_up(max(1, len(groups)), G8_PER_BLOCK) // G8_PER_BLOCK
-    tri_blocks = np.zeros((gb * 8, 128), F)
+    tri_blocks = np.zeros((gb * lg, 128), F)
     for q, (fst, cnt) in enumerate(groups):
         b, j = divmod(q, G8_PER_BLOCK)
         p0 = tri_pack[fst:fst + cnt, 0:3]
-        tri_blocks[b * 8:b * 8 + cnt, j * 10:j * 10 + 3] = p0
-        tri_blocks[b * 8:b * 8 + cnt, j * 10 + 3:j * 10 + 6] = (
+        tri_blocks[b * lg:b * lg + cnt, j * 10:j * 10 + 3] = p0
+        tri_blocks[b * lg:b * lg + cnt, j * 10 + 3:j * 10 + 6] = (
             tri_pack[fst:fst + cnt, 3:6] - p0)
-        tri_blocks[b * 8:b * 8 + cnt, j * 10 + 6:j * 10 + 9] = (
+        tri_blocks[b * lg:b * lg + cnt, j * 10 + 6:j * 10 + 9] = (
             tri_pack[fst:fst + cnt, 6:9] - p0)
-        tri_blocks[b * 8:b * 8 + cnt, j * 10 + 9] = (
+        tri_blocks[b * lg:b * lg + cnt, j * 10 + 9] = (
             np.arange(fst, fst + cnt, dtype=np.int32).view(F))
 
     return node_blocks, meta, tri_blocks, maxd + 3
@@ -1384,6 +1399,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         root_meta4r=int(acc.root_meta4r),
         t8_stack=int(acc.t8_stack),
         t8_width=_t8_width(),
+        t8_leaf=_t8_lg(),
         t8_chunk_meta=tuple(
             (int(stk), tuple(float(v) for v in mn), tuple(float(v) for v in mx))
             for (_n, _m, _t, stk, mn, mx) in acc.t8_chunks

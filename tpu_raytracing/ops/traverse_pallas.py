@@ -929,7 +929,7 @@ def _ffs(m, w: int):
 
 
 def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
-               W: int, NW: int):
+               W: int, NW: int, LG: int = 8):
     """Transposed wide-node walk: children in SUBLANES, rays in LANES.
 
     Round-2 redesign targeting the measured per-visit latency wall (~0.7 us,
@@ -1106,22 +1106,22 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                     s, llow = _ffs(lm, W)
                     lm = lm - llow
                     q = lbase + (W - 1 - s)
-                    tb = tris_ref[pl.ds((q // G8T_PER_BLOCK) * SUB, SUB), :]
+                    tb = tris_ref[pl.ds((q // G8T_PER_BLOCK) * LG, LG), :]
                     tb = roll_lanes(tb, (q % G8T_PER_BLOCK) * 10)
-                    p0 = [colb(tb, k) for k in range(3)]
-                    e1 = [colb(tb, 3 + k) for k in range(3)]
-                    e2 = [colb(tb, 6 + k) for k in range(3)]
+                    p0 = [colb(tb, k, LG) for k in range(3)]
+                    e1 = [colb(tb, 3 + k, LG) for k in range(3)]
+                    e2 = [colb(tb, 6 + k, LG) for k in range(3)]
                     idb = jnp.broadcast_to(
                         jax.lax.bitcast_convert_type(
-                            jax.lax.slice(tb, (0, 9), (SUB, 10)), jnp.int32),
-                        (SUB, LANE))
+                            jax.lax.slice(tb, (0, 9), (LG, 10)), jnp.int32),
+                        (LG, LANE))
                     sel = w_iota == s
                     for r in range(R):
                         hm = jnp.sum((hits[r] & sel).astype(jnp.int32),
                                      axis=0, keepdims=True)      # (1, 128)
-                        hm8 = jnp.broadcast_to(hm, (SUB, LANE)) > 0
-                        dr = [rowb(d[ax], r) for ax in range(3)]
-                        orr = [rowb(o[ax], r) for ax in range(3)]
+                        hm8 = jnp.broadcast_to(hm, (LG, LANE)) > 0
+                        dr = [rowb(d[ax], r, LG) for ax in range(3)]
+                        orr = [rowb(o[ax], r, LG) for ax in range(3)]
                         pv0 = dr[1] * e2[2] - dr[2] * e2[1]
                         pv1 = dr[2] * e2[0] - dr[0] * e2[2]
                         pv2 = dr[0] * e2[1] - dr[1] * e2[0]
@@ -1138,12 +1138,12 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                         ok = ((den != 0.0)
                               & (u >= -BARY_EPS) & (u <= 1.0 + BARY_EPS)
                               & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
-                              & (t >= rowb(t_min, r))
-                              & (t <= jnp.broadcast_to(tb_row, (SUB, LANE)))
+                              & (t >= rowb(t_min, r, LG))
+                              & (t <= jnp.broadcast_to(tb_row, (LG, LANE)))
                               & hm8)
                         t_sl = jnp.where(ok, t, INF)
                         tg = jnp.min(t_sl, axis=0, keepdims=True)  # (1, 128)
-                        tg8 = jnp.broadcast_to(tg, (SUB, LANE))
+                        tg8 = jnp.broadcast_to(tg, (LG, LANE))
                         idw = jnp.min(
                             jnp.where(t_sl == tg8, idb, jnp.int32(1 << 30)),
                             axis=0, keepdims=True)
@@ -1198,9 +1198,9 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
 
 @partial(jax.jit, static_argnums=(0, 4))
 def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
-    interpret, R, W, NW = shape_key
+    interpret, R, W, NW, LG = shape_key
     g = cols[0].shape[0] // R
-    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW)
+    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW, LG)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -1371,7 +1371,8 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
                 f"bvh8t stack bound {av.t8_stack} exceeds {STACK_CAP}"
             )
         t, best, visits = _t8_tiles(
-            (interpret, tsub, int(ds.meta.t8_width), t8_nwalk()),
+            (interpret, tsub, int(ds.meta.t8_width), t8_nwalk(),
+             int(ds.meta.t8_leaf)),
             av.t8_nodes, av.t8_tris, av.t8_meta, early_exit, cols,
         )
     elif kind in ("quad", "quadrow"):
