@@ -13,6 +13,7 @@ prim >= n_tris -> sphere index (prim - n_tris); prim < 0 -> miss.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -503,10 +504,17 @@ def _interleave3(v):
 
 
 def ray_sort_key(ds: DeviceScene, origin, direction):
-    """Coherence key: 3 direction-octant bits + 21-bit origin Morton code.
+    """Coherence key: rays sharing a key start near each other and point
+    the same way, so lockstep tiles of sorted rays visit small node-set
+    unions. The key only affects the tile grouping — outputs are
+    bit-identical under any permutation (sorted lane space unsorts
+    exactly).
 
-    Rays sharing a key start near each other and point the same way, so
-    lockstep tiles of sorted rays visit small node-set unions.
+    v1 (default): 3 direction-octant bits + 21-bit origin Morton.
+    v2 (TPU_RT_SORT_KEY=v2): octant + coarse origin Morton (4 bits/axis)
+    + 6 direction bits + fine origin Morton (3 bits/axis) — at 128Ki rays
+    the v1 keys are near-unique, so sub-octant direction never influences
+    the order; v2 trades fine position for direction locality.
     """
     c = ds.bounds_center
     r = jnp.maximum(ds.bounds_radius, 1e-6)
@@ -522,6 +530,21 @@ def ray_sort_key(ds: DeviceScene, origin, direction):
         | ((direction[:, 1] < 0).astype(jnp.int32) << 1)
         | ((direction[:, 2] < 0).astype(jnp.int32) << 2)
     )
+    if os.environ.get("TPU_RT_SORT_KEY", "v1") == "v2":
+        dq = jnp.clip(jnp.abs(direction), 0.0, 1.0)
+        dirq = (
+            ((dq[:, 0] > 0.5).astype(jnp.int32) << 2)
+            | ((dq[:, 1] > 0.5).astype(jnp.int32) << 1)
+            | (dq[:, 2] > 0.5).astype(jnp.int32)
+        )
+        dfine = (
+            ((dq[:, 0] > 0.25).astype(jnp.int32) << 2)
+            | ((dq[:, 1] > 0.25).astype(jnp.int32) << 1)
+            | (dq[:, 2] > 0.25).astype(jnp.int32)
+        )
+        hi = jax.lax.shift_right_logical(morton, 9)   # 12 coarse bits
+        lo = morton & 511                             # 9 fine bits
+        return (octant << 27) | (hi << 15) | (dirq << 12) | (dfine << 9) | lo
     return (octant << 21) | morton
 
 
