@@ -264,3 +264,31 @@ def test_bvh8t_width16_parity(monkeypatch):
     p_ref, p_p = np.asarray(p_ref), np.asarray(p_p)
     tri_lanes = p_ref < ds.meta.n_tris
     np.testing.assert_array_equal(p_ref[tri_lanes], p_p[tri_lanes])
+
+
+def test_brute_kernel_parity(monkeypatch):
+    """Opt-in scalar-free brute kernel (TPU_RT_BRUTE_GROUPS) matches the
+    walk's winners exactly on a small scene. Measured slower end-to-end
+    than the walk even on the smallest scenes (docs/PERF_LOG.md round 3)
+    so it defaults off; this keeps the knob's parity honest."""
+    monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "bvh8t")
+    monkeypatch.setenv("TPU_RT_BRUTE_GROUPS", "4096")
+    ds = compile_scene(get_test_scene("cube").scene_func())
+    B = 1024
+    o, d = _rays(ds, B, 29)
+    tmin = jnp.full(B, 1e-3)
+    tmax = jnp.full(B, jnp.inf)
+    t_ref, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)
+    t_p, p_p = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool),
+    )
+    p_ref, p_p = np.asarray(p_ref), np.asarray(p_p)
+    tri_lanes = p_ref < ds.meta.n_tris
+    np.testing.assert_array_equal(p_ref[tri_lanes], p_p[tri_lanes])
+    t_p = np.where(p_p >= 0, np.asarray(t_p), np.inf)
+    np.testing.assert_allclose(
+        t_p[tri_lanes & (p_p >= 0)],
+        np.asarray(t_ref)[tri_lanes & (p_p >= 0)],
+        rtol=1e-5,
+    )

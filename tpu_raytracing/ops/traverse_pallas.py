@@ -1196,6 +1196,152 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
 
 
 
+def _t8_brute_kernel(g: int, R: int, interpret: bool, LG: int, NG: int):
+    """Scalar-free brute-force triangle kernel for SMALL scenes.
+
+    The bvh8t walk pays a ~2.2-2.6us *serial* wall per node/leaf
+    iteration (scalar pops, SMEM meta reads, the vector->scalar drain —
+    docs/PERF_LOG.md round 3). For scenes of a few hundred tris the tree
+    is 1-2 levels deep and a tile's lockstep union touches most leaf
+    groups anyway, so the BVH machinery is pure overhead: cb_texture
+    (972 tris) spent 3.3s of a 4.5s render inside the walk kernels.
+
+    This kernel drops the tree entirely: a static fori over ALL tri
+    groups, Moller-Trumbore fully in the vector domain, not a single
+    vector->scalar crossing or SMEM access in the loop — Mosaic can
+    software-pipeline it at vector throughput. Reuses the bvh8t
+    transposed tri blocks (group roll is a vector op); padded group
+    slots hold zero triangles whose MT denominator is 0, so testing
+    them is harmless.
+
+    Selected by intersect_tris_pallas when the group count is at most
+    TPU_RT_BRUTE_GROUPS (winner parity with the walk holds: same MT,
+    same seam-inclusive bounds, min-t with min-id group ties).
+
+    MEASURED NEGATIVE end-to-end (default off): despite ~6x better
+    per-iteration probe cost, the walk still wins on real renders
+    (cb 14.14 vs 10.67, cb_texture 3.74 vs 1.98 Mrays/s) because the
+    walk prunes most groups per tile even on small scenes while brute
+    pays all of them for every tile. The earlier ns/iter comparison
+    was also partly a measurement artifact — bench_t8's sync-per-call
+    timing includes the remote-tunnel dispatch floor."""
+
+    def roll_lanes(x, sh):
+        if interpret:
+            return jnp.roll(x, -sh, axis=1)
+        return pltpu.roll(x, (LANE - sh) % LANE, axis=1)
+
+    def kernel(tris_ref, ox, oy, oz, dx, dy, dz, tmn, tmx, act,
+               t_out, best_out):
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
+
+        def colb(x, k, n):
+            return jnp.broadcast_to(
+                jax.lax.slice(x, (0, k), (n, k + 1)), (n, LANE))
+
+        def rowb(x, r, n):
+            return jnp.broadcast_to(
+                jax.lax.slice(x, (r, 0), (r + 1, LANE)), (n, LANE))
+
+        def run_tile(i, _):
+            sl = pl.ds(i * R, R)
+            o = (ox[sl, :], oy[sl, :], oz[sl, :])
+            d = (dx[sl, :], dy[sl, :], dz[sl, :])
+            t_min = tmn[sl, :]
+            live = (act[sl, :] > 0)
+            t_best0 = tmx[sl, :]
+
+            def group(q, st):
+                t_best, best = st
+                tb = tris_ref[pl.ds((q // G8T_PER_BLOCK) * LG, LG), :]
+                tb = roll_lanes(tb, (q % G8T_PER_BLOCK) * 10)
+                p0 = [colb(tb, k, LG) for k in range(3)]
+                e1 = [colb(tb, 3 + k, LG) for k in range(3)]
+                e2 = [colb(tb, 6 + k, LG) for k in range(3)]
+                idb = jnp.broadcast_to(
+                    jax.lax.bitcast_convert_type(
+                        jax.lax.slice(tb, (0, 9), (LG, 10)), jnp.int32),
+                    (LG, LANE))
+                for r in range(R):
+                    dr = [rowb(d[ax], r, LG) for ax in range(3)]
+                    orr = [rowb(o[ax], r, LG) for ax in range(3)]
+                    pv0 = dr[1] * e2[2] - dr[2] * e2[1]
+                    pv1 = dr[2] * e2[0] - dr[0] * e2[2]
+                    pv2 = dr[0] * e2[1] - dr[1] * e2[0]
+                    den = pv0 * e1[0] + pv1 * e1[1] + pv2 * e1[2]
+                    sden = jnp.where(den == 0.0, 1.0, den)
+                    tv = [orr[k] - p0[k] for k in range(3)]
+                    u = (pv0 * tv[0] + pv1 * tv[1] + pv2 * tv[2]) / sden
+                    qv0 = tv[1] * e1[2] - tv[2] * e1[1]
+                    qv1 = tv[2] * e1[0] - tv[0] * e1[2]
+                    qv2 = tv[0] * e1[1] - tv[1] * e1[0]
+                    v = (qv0 * dr[0] + qv1 * dr[1] + qv2 * dr[2]) / sden
+                    t = (qv0 * e2[0] + qv1 * e2[1] + qv2 * e2[2]) / sden
+                    tb_row = jax.lax.slice(t_best, (r, 0), (r + 1, LANE))
+                    ok = ((den != 0.0)
+                          & (u >= -BARY_EPS) & (u <= 1.0 + BARY_EPS)
+                          & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
+                          & (t >= rowb(t_min, r, LG))
+                          & (t <= jnp.broadcast_to(tb_row, (LG, LANE))))
+                    t_sl = jnp.where(ok, t, INF)
+                    tg = jnp.min(t_sl, axis=0, keepdims=True)   # (1, 128)
+                    tg8 = jnp.broadcast_to(tg, (LG, LANE))
+                    idw = jnp.min(
+                        jnp.where(t_sl == tg8, idb, jnp.int32(1 << 30)),
+                        axis=0, keepdims=True)
+                    sel_r = row_iota == r
+                    take = sel_r & (jnp.broadcast_to(tg, (R, LANE)) < INF)
+                    t_best = jnp.where(
+                        take, jnp.broadcast_to(tg, (R, LANE)), t_best)
+                    best = jnp.where(
+                        take, jnp.broadcast_to(idw, (R, LANE)), best)
+                return t_best, best
+
+            t_best, best = jax.lax.fori_loop(
+                0, NG, group,
+                (t_best0, jnp.full((R, LANE), -1, jnp.int32)))
+            best = jnp.where(live, best, -1)
+            t_out[sl, :] = t_best
+            best_out[sl, :] = best
+            return 0
+
+        jax.lax.fori_loop(0, g, run_tile, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _t8_brute_tiles(shape_key, tris, cols):
+    interpret, R, LG, NG = shape_key
+    g = cols[0].shape[0] // R
+    kernel = _t8_brute_kernel(g, R, interpret, LG, NG)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((g * R, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g * R, LANE), jnp.int32),
+        ),
+        in_specs=[full] + [full] * 9,
+        out_specs=(full, full),
+        interpret=interpret,
+    )(tris, *cols)
+
+
+def brute_groups_max() -> int:
+    """Group-count threshold below which the brute kernel replaces the
+    walk. Default 0 = never: the end-to-end A/B measured the brute
+    kernel a clear LOSS even on the smallest scenes (cb 10.67 vs 14.14
+    Mrays/s, cb_texture 1.98 vs 3.74 — docs/PERF_LOG.md round 3), the
+    per-iteration probe numbers notwithstanding: the walk skips most
+    groups per tile even on small scenes, while brute pays all of them.
+    Kept as an opt-in knob (TPU_RT_BRUTE_GROUPS=N) with a tested
+    parity path."""
+    import os as _o
+
+    return int(_o.environ.get("TPU_RT_BRUTE_GROUPS", "0"))
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
     interpret, R, W, NW, LG = shape_key
@@ -1370,11 +1516,19 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
             raise ValueError(
                 f"bvh8t stack bound {av.t8_stack} exceeds {STACK_CAP}"
             )
-        t, best, visits = _t8_tiles(
-            (interpret, tsub, int(ds.meta.t8_width), t8_nwalk(),
-             int(ds.meta.t8_leaf)),
-            av.t8_nodes, av.t8_tris, av.t8_meta, early_exit, cols,
-        )
+        lg = int(ds.meta.t8_leaf)
+        ng = av.t8_tris.shape[0] // lg * G8T_PER_BLOCK
+        if t8_chunk is None and ng <= brute_groups_max():
+            # opt-in scalar-free brute kernel (default off — measured
+            # slower than the walk end-to-end, see brute_groups_max)
+            t, best = _t8_brute_tiles(
+                (interpret, tsub, lg, ng), av.t8_tris, cols)
+            visits = jnp.zeros((cols[0].shape[0] // tsub, 1), jnp.int32)
+        else:
+            t, best, visits = _t8_tiles(
+                (interpret, tsub, int(ds.meta.t8_width), t8_nwalk(), lg),
+                av.t8_nodes, av.t8_tris, av.t8_meta, early_exit, cols,
+            )
     elif kind in ("quad", "quadrow"):
         if av.bvh4_stack > STACK_CAP:
             raise ValueError(
