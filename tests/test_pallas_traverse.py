@@ -292,3 +292,29 @@ def test_brute_kernel_parity(monkeypatch):
         np.asarray(t_ref)[tri_lanes & (p_p >= 0)],
         rtol=1e-5,
     )
+
+
+def test_bvh8t_k2_parity(bunny_ds, monkeypatch):
+    """K2 (two node visits per while trip, TPU_RT_T8_K2) matches the
+    XLA walk's winners exactly, closest-hit and early-exit."""
+    monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "bvh8t")
+    monkeypatch.setenv("TPU_RT_T8_K2", "1")
+    ds = bunny_ds
+    B = 1024
+    o, d = _rays(ds, B, 41)
+    tmin = jnp.full(B, 1e-3)
+    tmax = jnp.full(B, jnp.inf)
+    t_ref, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)
+    t_p, p_p = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool),
+    )
+    p_ref, p_p = np.asarray(p_ref), np.asarray(p_p)
+    tri_lanes = p_ref < ds.meta.n_tris
+    np.testing.assert_array_equal(p_ref[tri_lanes], p_p[tri_lanes])
+    _, p_s = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool), early_exit=True,
+    )
+    np.testing.assert_array_equal(
+        (np.asarray(p_s) >= 0)[tri_lanes], (p_ref >= 0)[tri_lanes])

@@ -929,7 +929,7 @@ def _ffs(m, w: int):
 
 
 def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
-               W: int, NW: int, LG: int = 8):
+               W: int, NW: int, LG: int = 8, k2: bool = False):
     """Transposed wide-node walk: children in SUBLANES, rays in LANES.
 
     Round-2 redesign targeting the measured per-visit latency wall (~0.7 us,
@@ -966,12 +966,19 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
         return pltpu.roll(x, (LANE - sh) % LANE, axis=1)
 
     FLD = 6 if W == 32 else 5  # meta child-count field width (builder _t8_fld)
+    if k2 and W > 16:
+        raise ValueError("k2 packs two W-bit vote masks into one int32")
+    # k2 can hold two stack entries per depth level, so its SMEM stack is
+    # allocated at twice the builder bound (same t8_stack<=STACK_CAP check)
+    CAPW = STACK_CAP * (2 if (W == 32 or k2) else 1)
 
     def kernel(nodes_ref, tris_ref, meta_ref,
                ox, oy, oz, dx, dy, dz, tmn, tmx, act,
                t_out, best_out, visits_out, stack_ref):
         w_col = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
         wt = jnp.left_shift(jnp.int32(1), w_col)            # (W, 1)
+        # k2 packs node B's votes in bits W..2W-1 (shift<=31 needs W<=16)
+        wt_hi = jnp.left_shift(jnp.int32(1), w_col + W) if k2 else None
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
 
@@ -1000,10 +1007,10 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                 if W == 32:
                     # dual-slot stack: (base, mask) int32 pairs — a 32-bit
                     # mask can't share an int32 with its base
-                    stack_ref[wk * STACK_CAP * 2] = jnp.int32(0)
-                    stack_ref[wk * STACK_CAP * 2 + 1] = jnp.int32(1)
+                    stack_ref[wk * CAPW] = jnp.int32(0)
+                    stack_ref[wk * CAPW + 1] = jnp.int32(1)
                 else:
-                    stack_ref[wk * STACK_CAP] = jnp.int32(1)  # root entry
+                    stack_ref[wk * CAPW] = jnp.int32(1)  # root entry
 
             def visit(wk, st):
                 """One node visit of walk wk (no-op when its stack is
@@ -1165,6 +1172,193 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                     sp = jnp.where(aw == 0, 0, sp)
                 return sp, nv, t_best, best
 
+            def visit2(wk, st):
+                """K2 trip: up to TWO node visits of walk wk (pop two
+                child bits from the top stack entry, test both nodes'
+                boxes, pack both vote masks into the ONE drain — A in
+                bits 0..W-1, B in W..2W-1). Visit count and vector work
+                are unchanged vs visit(); the serial per-trip program
+                (pop/meta/drain-sync/push) is amortized over two nodes,
+                which the round-3 probes measured as the per-iteration
+                floor. W<=16 only (two masks must share an int32)."""
+                sp, nv, t_best, best = st
+                o, d, inv, t_min, live0 = rays[wk]
+                walk_on = (sp > 0).astype(jnp.int32)
+                top = wk * CAPW + jnp.maximum(sp - 1, 0)
+                e = stack_ref[top]
+                mask = e & ((1 << W) - 1)
+                base = jax.lax.shift_right_logical(e, W)
+                slot_a, low_a = _ffs(mask, W)
+                rem_a = mask - low_a
+                slot_b, low_b = _ffs(rem_a, W)   # (0, 0) when rem_a == 0
+                bon = walk_on * (rem_a != 0).astype(jnp.int32)
+                rem_b = rem_a - low_b
+                stack_ref[top] = (base << W) | rem_b
+                sp = jnp.where((rem_b == 0) & (sp > 0), sp - 1, sp)
+                nid_a = jnp.where(walk_on > 0, base + slot_a, 0)
+                nid_b = jnp.where(bon > 0, base + slot_b, 0)
+                nv = nv + walk_on + bon
+
+                m0a = meta_ref[nid_a, 0]
+                m1a = meta_ref[nid_a, 1]
+                m0b = meta_ref[nid_b, 0]
+                m1b = meta_ref[nid_b, 1]
+                cbase_a = jax.lax.shift_right_logical(m0a, FLD)
+                ni_a = m0a & ((1 << FLD) - 1)
+                lbase_a = jax.lax.shift_right_logical(m1a, FLD)
+                nl_a = m1a & ((1 << FLD) - 1)
+                cbase_b = jax.lax.shift_right_logical(m0b, FLD)
+                ni_b = m0b & ((1 << FLD) - 1)
+                lbase_b = jax.lax.shift_right_logical(m1b, FLD)
+                nl_b = m1b & ((1 << FLD) - 1)
+
+                blk_a = nodes_ref[pl.ds((nid_a // N8T_PER_BLOCK) * W, W), :]
+                blk_a = roll_lanes(blk_a, (nid_a % N8T_PER_BLOCK) * 8)
+                box_a = [colb(blk_a, k, W) for k in range(6)]
+                blk_b = nodes_ref[pl.ds((nid_b // N8T_PER_BLOCK) * W, W), :]
+                blk_b = roll_lanes(blk_b, (nid_b % N8T_PER_BLOCK) * 8)
+                box_b = [colb(blk_b, k, W) for k in range(6)]
+
+                if early_exit:
+                    want = live0 * (best == -1).astype(jnp.int32) * walk_on
+                else:
+                    want = live0 * walk_on
+
+                cnt_a = jnp.zeros((W, 1), jnp.int32)
+                cnt_b = jnp.zeros((W, 1), jnp.int32)
+                hits_a, hits_b = [], []
+                for r in range(R):
+                    wb = rowb(want, r, W) > 0
+                    tmb = rowb(t_min, r, W)
+                    tbb = rowb(t_best, r, W)
+                    for box, hits, which in ((box_a, hits_a, 0),
+                                             (box_b, hits_b, 1)):
+                        t0 = jnp.full((W, LANE), -INF)
+                        t1 = jnp.full((W, LANE), INF)
+                        for ax in range(3):
+                            ob = rowb(o[ax], r, W)
+                            ib = rowb(inv[ax], r, W)
+                            a = (box[ax] - ob) * ib
+                            b = (box[3 + ax] - ob) * ib
+                            t0 = jnp.maximum(t0, jnp.minimum(a, b))
+                            t1 = jnp.minimum(t1, jnp.maximum(a, b))
+                        h = (t0 <= t1) & (t1 >= tmb) & (t0 <= tbb) & wb
+                        hits.append(h)
+                        if which == 0:
+                            cnt_a = cnt_a + jnp.sum(
+                                h.astype(jnp.int32), axis=1, keepdims=True)
+                        else:
+                            cnt_b = cnt_b + jnp.sum(
+                                h.astype(jnp.int32), axis=1, keepdims=True)
+
+                valid_a = (w_col < ni_a) | (w_col >= W - nl_a)
+                valid_b = (w_col < ni_b) | (w_col >= W - nl_b)
+                bits = (jnp.where((cnt_a > 0) & valid_a, wt, 0)
+                        + jnp.where((cnt_b > 0) & valid_b, wt_hi, 0) * bon)
+                mask_s = jnp.sum(bits)       # the ONE vector->scalar drain
+                if early_exit:
+                    aw = jnp.sum(want)
+
+                mask_a = mask_s & ((1 << W) - 1)
+                mask_b = jax.lax.shift_right_logical(mask_s, W)
+                imask_a = mask_a & ((jnp.int32(1) << ni_a) - 1)
+                imask_b = mask_b & ((jnp.int32(1) << ni_b) - 1)
+
+                @pl.when(imask_a != 0)
+                def _():
+                    stack_ref[wk * CAPW + sp] = (cbase_a << W) | imask_a
+
+                sp_a = sp + (imask_a != 0).astype(jnp.int32)
+
+                @pl.when(imask_b != 0)
+                def _():
+                    stack_ref[wk * CAPW + sp_a] = (cbase_b << W) | imask_b
+
+                sp = sp_a + (imask_b != 0).astype(jnp.int32)
+
+                def leaf_loop(lm0, lbase, hits, nv, t_best, best):
+                    def lcond(lc):
+                        return lc[0] != 0
+
+                    def lbody(lc):
+                        lm, nv, t_best, best = lc
+                        nv = nv + (1 << 16)
+                        s, llow = _ffs(lm, W)
+                        lm = lm - llow
+                        q = lbase + (W - 1 - s)
+                        tb = tris_ref[pl.ds((q // G8T_PER_BLOCK) * LG, LG),
+                                      :]
+                        tb = roll_lanes(tb, (q % G8T_PER_BLOCK) * 10)
+                        p0 = [colb(tb, k, LG) for k in range(3)]
+                        e1 = [colb(tb, 3 + k, LG) for k in range(3)]
+                        e2 = [colb(tb, 6 + k, LG) for k in range(3)]
+                        idb = jnp.broadcast_to(
+                            jax.lax.bitcast_convert_type(
+                                jax.lax.slice(tb, (0, 9), (LG, 10)),
+                                jnp.int32),
+                            (LG, LANE))
+                        sel = w_iota == s
+                        for r in range(R):
+                            hm = jnp.sum((hits[r] & sel).astype(jnp.int32),
+                                         axis=0, keepdims=True)  # (1, 128)
+                            hm8 = jnp.broadcast_to(hm, (LG, LANE)) > 0
+                            dr = [rowb(d[ax], r, LG) for ax in range(3)]
+                            orr = [rowb(o[ax], r, LG) for ax in range(3)]
+                            pv0 = dr[1] * e2[2] - dr[2] * e2[1]
+                            pv1 = dr[2] * e2[0] - dr[0] * e2[2]
+                            pv2 = dr[0] * e2[1] - dr[1] * e2[0]
+                            den = pv0 * e1[0] + pv1 * e1[1] + pv2 * e1[2]
+                            sden = jnp.where(den == 0.0, 1.0, den)
+                            tv = [orr[k] - p0[k] for k in range(3)]
+                            u = (pv0 * tv[0] + pv1 * tv[1]
+                                 + pv2 * tv[2]) / sden
+                            qv0 = tv[1] * e1[2] - tv[2] * e1[1]
+                            qv1 = tv[2] * e1[0] - tv[0] * e1[2]
+                            qv2 = tv[0] * e1[1] - tv[1] * e1[0]
+                            v = (qv0 * dr[0] + qv1 * dr[1]
+                                 + qv2 * dr[2]) / sden
+                            t = (qv0 * e2[0] + qv1 * e2[1]
+                                 + qv2 * e2[2]) / sden
+                            tb_row = jax.lax.slice(
+                                t_best, (r, 0), (r + 1, LANE))
+                            ok = ((den != 0.0)
+                                  & (u >= -BARY_EPS) & (u <= 1.0 + BARY_EPS)
+                                  & (v >= -BARY_EPS)
+                                  & (u + v <= 1.0 + BARY_EPS)
+                                  & (t >= rowb(t_min, r, LG))
+                                  & (t <= jnp.broadcast_to(
+                                      tb_row, (LG, LANE)))
+                                  & hm8)
+                            t_sl = jnp.where(ok, t, INF)
+                            tg = jnp.min(t_sl, axis=0, keepdims=True)
+                            tg8 = jnp.broadcast_to(tg, (LG, LANE))
+                            idw = jnp.min(
+                                jnp.where(t_sl == tg8, idb,
+                                          jnp.int32(1 << 30)),
+                                axis=0, keepdims=True)
+                            sel_r = row_iota == r
+                            updR = jnp.broadcast_to(tg, (R, LANE)) < INF
+                            take = sel_r & updR
+                            t_best = jnp.where(
+                                take, jnp.broadcast_to(tg, (R, LANE)),
+                                t_best)
+                            best = jnp.where(
+                                take, jnp.broadcast_to(idw, (R, LANE)),
+                                best)
+                        return lm, nv, t_best, best
+
+                    return jax.lax.while_loop(
+                        lcond, lbody, (lm0, nv, t_best, best))
+
+                _, nv, t_best, best = leaf_loop(
+                    mask_a - imask_a, lbase_a, hits_a, nv, t_best, best)
+                _, nv, t_best, best = leaf_loop(
+                    mask_b - imask_b, lbase_b, hits_b, nv, t_best, best)
+
+                if early_exit:
+                    sp = jnp.where(aw == 0, 0, sp)
+                return sp, nv, t_best, best
+
             def cond(c):
                 alive = c[0][0] > 0
                 for wk in range(1, NW):
@@ -1172,7 +1366,8 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                 return alive
 
             def body(c):
-                return tuple(visit(wk, c[wk]) for wk in range(NW))
+                step = visit2 if k2 else visit
+                return tuple(step(wk, c[wk]) for wk in range(NW))
 
             init = tuple(
                 (jnp.int32(1), jnp.int32(0),
@@ -1344,9 +1539,10 @@ def brute_groups_max() -> int:
 
 @partial(jax.jit, static_argnums=(0, 4))
 def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
-    interpret, R, W, NW, LG = shape_key
+    interpret, R, W, NW, LG = shape_key[:5]
+    k2 = bool(shape_key[5]) if len(shape_key) > 5 else False
     g = cols[0].shape[0] // R
-    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW, LG)
+    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW, LG, k2)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -1359,7 +1555,7 @@ def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
         + [full] * 9,
         out_specs=(full, full, pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.SMEM(
-            (NW * STACK_CAP * (2 if W == 32 else 1),), jnp.int32)],
+            (NW * STACK_CAP * (2 if (W == 32 or k2) else 1),), jnp.int32)],
         interpret=interpret,
     )(nodes, tris, meta, *cols)
 
@@ -1374,6 +1570,19 @@ def t8_rows() -> int:
     import os as _o
 
     return max(1, int(_o.environ.get("TPU_RT_T8_R", "4")))
+
+
+def t8_k2() -> bool:
+    """Two node visits per while trip (TPU_RT_T8_K2, default on): same
+    visit count and vector work, half the serial per-trip overhead
+    (pop/drain/push). Measured (cbbunny 8spp, interleaved repeats):
+    bunny 5.42 -> 5.62, transforms 4.47 -> 4.80, W8 bunny 4.71 -> 5.33;
+    cb (16-tri box) loses ~5% (second slot mostly empty on a 1-level
+    tree) and cb_texture is flat (texture-bound). W<=16 builds only
+    (two W-bit vote masks share the one drained int32)."""
+    import os as _o
+
+    return _o.environ.get("TPU_RT_T8_K2", "1") == "1"
 
 
 def t8_nwalk() -> int:
@@ -1525,8 +1734,10 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
                 (interpret, tsub, lg, ng), av.t8_tris, cols)
             visits = jnp.zeros((cols[0].shape[0] // tsub, 1), jnp.int32)
         else:
+            w = int(ds.meta.t8_width)
             t, best, visits = _t8_tiles(
-                (interpret, tsub, int(ds.meta.t8_width), t8_nwalk(), lg),
+                (interpret, tsub, w, t8_nwalk(), lg,
+                 t8_k2() and w <= 16),
                 av.t8_nodes, av.t8_tris, av.t8_meta, early_exit, cols,
             )
     elif kind in ("quad", "quadrow"):
