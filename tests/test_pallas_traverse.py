@@ -295,13 +295,41 @@ def test_brute_kernel_parity(monkeypatch):
 
 
 def test_bvh8t_k2_parity(bunny_ds, monkeypatch):
-    """K2 (two node visits per while trip, TPU_RT_T8_K2) matches the
+    """K2 (two node visits per while trip, TPU_RT_T8_K) matches the
     XLA walk's winners exactly, closest-hit and early-exit."""
     monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "bvh8t")
-    monkeypatch.setenv("TPU_RT_T8_K2", "1")
+    monkeypatch.setenv("TPU_RT_T8_K", "2")
     ds = bunny_ds
     B = 1024
     o, d = _rays(ds, B, 41)
+    tmin = jnp.full(B, 1e-3)
+    tmax = jnp.full(B, jnp.inf)
+    t_ref, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)
+    t_p, p_p = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool),
+    )
+    p_ref, p_p = np.asarray(p_ref), np.asarray(p_p)
+    tri_lanes = p_ref < ds.meta.n_tris
+    np.testing.assert_array_equal(p_ref[tri_lanes], p_p[tri_lanes])
+    _, p_s = intersect_tris_pallas(
+        ds, o, d, tmin, jnp.broadcast_to(tmax, (B,)).astype(jnp.float32),
+        jnp.ones(B, bool), early_exit=True,
+    )
+    np.testing.assert_array_equal(
+        (np.asarray(p_s) >= 0)[tri_lanes], (p_ref >= 0)[tri_lanes])
+
+
+def test_bvh8t_k4_w8_parity(monkeypatch):
+    """K=4 at W=8 (four 8-bit vote masks in the one drained int32,
+    top byte in bits 24..31 incl the sign bit) stays bit-faithful."""
+    monkeypatch.setenv("TPU_RT_PALLAS_KERNEL", "bvh8t")
+    monkeypatch.setenv("TPU_RT_T8_W", "8")
+    monkeypatch.setenv("TPU_RT_T8_K", "4")
+    ds = compile_scene(get_test_scene("coated_diffuse_bunny").scene_func())
+    assert ds.meta.t8_width == 8
+    B = 1024
+    o, d = _rays(ds, B, 53)
     tmin = jnp.full(B, 1e-3)
     tmax = jnp.full(B, jnp.inf)
     t_ref, p_ref = T.intersect_scene(ds, o, d, tmin, tmax)

@@ -929,7 +929,7 @@ def _ffs(m, w: int):
 
 
 def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
-               W: int, NW: int, LG: int = 8, k2: bool = False):
+               W: int, NW: int, LG: int = 8, kn: int = 1):
     """Transposed wide-node walk: children in SUBLANES, rays in LANES.
 
     Round-2 redesign targeting the measured per-visit latency wall (~0.7 us,
@@ -966,19 +966,17 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
         return pltpu.roll(x, (LANE - sh) % LANE, axis=1)
 
     FLD = 6 if W == 32 else 5  # meta child-count field width (builder _t8_fld)
-    if k2 and W > 16:
-        raise ValueError("k2 packs two W-bit vote masks into one int32")
-    # k2 can hold two stack entries per depth level, so its SMEM stack is
-    # allocated at twice the builder bound (same t8_stack<=STACK_CAP check)
-    CAPW = STACK_CAP * (2 if (W == 32 or k2) else 1)
+    if kn > 1 and kn * W > 32:
+        raise ValueError("kn packs kn W-bit vote masks into one int32")
+    # kn>1 can hold kn stack entries per depth level, so its SMEM stack
+    # is allocated at kn x the builder bound (same t8_stack check)
+    CAPW = STACK_CAP * (2 if W == 32 else max(kn, 1))
 
     def kernel(nodes_ref, tris_ref, meta_ref,
                ox, oy, oz, dx, dy, dz, tmn, tmx, act,
                t_out, best_out, visits_out, stack_ref):
         w_col = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
         wt = jnp.left_shift(jnp.int32(1), w_col)            # (W, 1)
-        # k2 packs node B's votes in bits W..2W-1 (shift<=31 needs W<=16)
-        wt_hi = jnp.left_shift(jnp.int32(1), w_col + W) if k2 else None
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
 
@@ -1172,15 +1170,15 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                     sp = jnp.where(aw == 0, 0, sp)
                 return sp, nv, t_best, best
 
-            def visit2(wk, st):
-                """K2 trip: up to TWO node visits of walk wk (pop two
-                child bits from the top stack entry, test both nodes'
-                boxes, pack both vote masks into the ONE drain — A in
-                bits 0..W-1, B in W..2W-1). Visit count and vector work
-                are unchanged vs visit(); the serial per-trip program
-                (pop/meta/drain-sync/push) is amortized over two nodes,
-                which the round-3 probes measured as the per-iteration
-                floor. W<=16 only (two masks must share an int32)."""
+            def visitk(wk, st):
+                """KN trip: up to KN node visits of walk wk (pop KN
+                child bits from the top stack entry, test every node's
+                boxes, pack all vote masks into the ONE drain — node j
+                in bits j*W..(j+1)*W-1, KN*W <= 32). Visit count and
+                vector work are unchanged vs visit(); the serial
+                per-trip program (pop/meta/drain-sync/push), which the
+                round-3 probes measured as the per-iteration floor, is
+                amortized over KN nodes."""
                 sp, nv, t_best, best = st
                 o, d, inv, t_min, live0 = rays[wk]
                 walk_on = (sp > 0).astype(jnp.int32)
@@ -1188,51 +1186,53 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                 e = stack_ref[top]
                 mask = e & ((1 << W) - 1)
                 base = jax.lax.shift_right_logical(e, W)
-                slot_a, low_a = _ffs(mask, W)
-                rem_a = mask - low_a
-                slot_b, low_b = _ffs(rem_a, W)   # (0, 0) when rem_a == 0
-                bon = walk_on * (rem_a != 0).astype(jnp.int32)
-                rem_b = rem_a - low_b
-                stack_ref[top] = (base << W) | rem_b
-                sp = jnp.where((rem_b == 0) & (sp > 0), sp - 1, sp)
-                nid_a = jnp.where(walk_on > 0, base + slot_a, 0)
-                nid_b = jnp.where(bon > 0, base + slot_b, 0)
-                nv = nv + walk_on + bon
+                slots, ons = [], []
+                rem = mask
+                for j in range(kn):
+                    on = walk_on if j == 0 else (
+                        walk_on * (rem != 0).astype(jnp.int32))
+                    s_j, low_j = _ffs(rem, W)   # (0, 0) when rem == 0
+                    slots.append(s_j)
+                    ons.append(on)
+                    rem = rem - low_j
+                stack_ref[top] = (base << W) | rem
+                sp = jnp.where((rem == 0) & (sp > 0), sp - 1, sp)
+                nids = [jnp.where(ons[j] > 0, base + slots[j], 0)
+                        for j in range(kn)]
+                for j in range(kn):
+                    nv = nv + ons[j]
 
-                m0a = meta_ref[nid_a, 0]
-                m1a = meta_ref[nid_a, 1]
-                m0b = meta_ref[nid_b, 0]
-                m1b = meta_ref[nid_b, 1]
-                cbase_a = jax.lax.shift_right_logical(m0a, FLD)
-                ni_a = m0a & ((1 << FLD) - 1)
-                lbase_a = jax.lax.shift_right_logical(m1a, FLD)
-                nl_a = m1a & ((1 << FLD) - 1)
-                cbase_b = jax.lax.shift_right_logical(m0b, FLD)
-                ni_b = m0b & ((1 << FLD) - 1)
-                lbase_b = jax.lax.shift_right_logical(m1b, FLD)
-                nl_b = m1b & ((1 << FLD) - 1)
-
-                blk_a = nodes_ref[pl.ds((nid_a // N8T_PER_BLOCK) * W, W), :]
-                blk_a = roll_lanes(blk_a, (nid_a % N8T_PER_BLOCK) * 8)
-                box_a = [colb(blk_a, k, W) for k in range(6)]
-                blk_b = nodes_ref[pl.ds((nid_b // N8T_PER_BLOCK) * W, W), :]
-                blk_b = roll_lanes(blk_b, (nid_b % N8T_PER_BLOCK) * 8)
-                box_b = [colb(blk_b, k, W) for k in range(6)]
+                cbases, nis, lbases = [], [], []
+                boxes = []
+                for j in range(kn):
+                    m0 = meta_ref[nids[j], 0]
+                    m1 = meta_ref[nids[j], 1]
+                    cbases.append(jax.lax.shift_right_logical(m0, FLD))
+                    nis.append(m0 & ((1 << FLD) - 1))
+                    lbases.append(jax.lax.shift_right_logical(m1, FLD))
+                    blk = nodes_ref[
+                        pl.ds((nids[j] // N8T_PER_BLOCK) * W, W), :]
+                    blk = roll_lanes(blk, (nids[j] % N8T_PER_BLOCK) * 8)
+                    boxes.append([colb(blk, k, W) for k in range(6)])
+                    nls_j = m1 & ((1 << FLD) - 1)
+                    if j == 0:
+                        nls = [nls_j]
+                    else:
+                        nls.append(nls_j)
 
                 if early_exit:
                     want = live0 * (best == -1).astype(jnp.int32) * walk_on
                 else:
                     want = live0 * walk_on
 
-                cnt_a = jnp.zeros((W, 1), jnp.int32)
-                cnt_b = jnp.zeros((W, 1), jnp.int32)
-                hits_a, hits_b = [], []
+                cnts = [jnp.zeros((W, 1), jnp.int32) for _ in range(kn)]
+                hits_k = [[] for _ in range(kn)]
                 for r in range(R):
                     wb = rowb(want, r, W) > 0
                     tmb = rowb(t_min, r, W)
                     tbb = rowb(t_best, r, W)
-                    for box, hits, which in ((box_a, hits_a, 0),
-                                             (box_b, hits_b, 1)):
+                    for j in range(kn):
+                        box = boxes[j]
                         t0 = jnp.full((W, LANE), -INF)
                         t1 = jnp.full((W, LANE), INF)
                         for ax in range(3):
@@ -1243,38 +1243,39 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                             t0 = jnp.maximum(t0, jnp.minimum(a, b))
                             t1 = jnp.minimum(t1, jnp.maximum(a, b))
                         h = (t0 <= t1) & (t1 >= tmb) & (t0 <= tbb) & wb
-                        hits.append(h)
-                        if which == 0:
-                            cnt_a = cnt_a + jnp.sum(
-                                h.astype(jnp.int32), axis=1, keepdims=True)
-                        else:
-                            cnt_b = cnt_b + jnp.sum(
-                                h.astype(jnp.int32), axis=1, keepdims=True)
+                        hits_k[j].append(h)
+                        cnts[j] = cnts[j] + jnp.sum(
+                            h.astype(jnp.int32), axis=1, keepdims=True)
 
-                valid_a = (w_col < ni_a) | (w_col >= W - nl_a)
-                valid_b = (w_col < ni_b) | (w_col >= W - nl_b)
-                bits = (jnp.where((cnt_a > 0) & valid_a, wt, 0)
-                        + jnp.where((cnt_b > 0) & valid_b, wt_hi, 0) * bon)
+                bits = jnp.zeros((W, 1), jnp.int32)
+                for j in range(kn):
+                    valid = (w_col < nis[j]) | (w_col >= W - nls[j])
+                    # node j's votes in bits j*W.. (shift<=31: kn*W<=32)
+                    wt_j = wt if j == 0 else jnp.left_shift(
+                        jnp.int32(1), w_col + j * W)
+                    vote = jnp.where((cnts[j] > 0) & valid, wt_j, 0)
+                    bits = bits + (vote if j == 0 else vote * ons[j])
                 mask_s = jnp.sum(bits)       # the ONE vector->scalar drain
                 if early_exit:
                     aw = jnp.sum(want)
 
-                mask_a = mask_s & ((1 << W) - 1)
-                mask_b = jax.lax.shift_right_logical(mask_s, W)
-                imask_a = mask_a & ((jnp.int32(1) << ni_a) - 1)
-                imask_b = mask_b & ((jnp.int32(1) << ni_b) - 1)
+                imasks, lmasks = [], []
+                for j in range(kn):
+                    mask_j = jax.lax.shift_right_logical(
+                        mask_s, j * W) & ((1 << W) - 1)
+                    imask_j = mask_j & ((jnp.int32(1) << nis[j]) - 1)
+                    imasks.append(imask_j)
+                    lmasks.append(mask_j - imask_j)
 
-                @pl.when(imask_a != 0)
-                def _():
-                    stack_ref[wk * CAPW + sp] = (cbase_a << W) | imask_a
+                for j in range(kn):
+                    imask_j, cbase_j, sp_j = imasks[j], cbases[j], sp
 
-                sp_a = sp + (imask_a != 0).astype(jnp.int32)
+                    @pl.when(imask_j != 0)
+                    def _(imask_j=imask_j, cbase_j=cbase_j, sp_j=sp_j):
+                        stack_ref[wk * CAPW + sp_j] = (
+                            (cbase_j << W) | imask_j)
 
-                @pl.when(imask_b != 0)
-                def _():
-                    stack_ref[wk * CAPW + sp_a] = (cbase_b << W) | imask_b
-
-                sp = sp_a + (imask_b != 0).astype(jnp.int32)
+                    sp = sp + (imask_j != 0).astype(jnp.int32)
 
                 def leaf_loop(lm0, lbase, hits, nv, t_best, best):
                     def lcond(lc):
@@ -1350,10 +1351,9 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                     return jax.lax.while_loop(
                         lcond, lbody, (lm0, nv, t_best, best))
 
-                _, nv, t_best, best = leaf_loop(
-                    mask_a - imask_a, lbase_a, hits_a, nv, t_best, best)
-                _, nv, t_best, best = leaf_loop(
-                    mask_b - imask_b, lbase_b, hits_b, nv, t_best, best)
+                for j in range(kn):
+                    _, nv, t_best, best = leaf_loop(
+                        lmasks[j], lbases[j], hits_k[j], nv, t_best, best)
 
                 if early_exit:
                     sp = jnp.where(aw == 0, 0, sp)
@@ -1366,7 +1366,7 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                 return alive
 
             def body(c):
-                step = visit2 if k2 else visit
+                step = visitk if kn > 1 else visit
                 return tuple(step(wk, c[wk]) for wk in range(NW))
 
             init = tuple(
@@ -1540,9 +1540,9 @@ def brute_groups_max() -> int:
 @partial(jax.jit, static_argnums=(0, 4))
 def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
     interpret, R, W, NW, LG = shape_key[:5]
-    k2 = bool(shape_key[5]) if len(shape_key) > 5 else False
+    kn = int(shape_key[5]) if len(shape_key) > 5 else 1
     g = cols[0].shape[0] // R
-    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW, LG, k2)
+    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW, LG, kn)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -1555,7 +1555,8 @@ def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
         + [full] * 9,
         out_specs=(full, full, pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.SMEM(
-            (NW * STACK_CAP * (2 if (W == 32 or k2) else 1),), jnp.int32)],
+            (NW * STACK_CAP * (2 if W == 32 else max(kn, 1)),),
+            jnp.int32)],
         interpret=interpret,
     )(nodes, tris, meta, *cols)
 
@@ -1572,17 +1573,22 @@ def t8_rows() -> int:
     return max(1, int(_o.environ.get("TPU_RT_T8_R", "4")))
 
 
-def t8_k2() -> bool:
-    """Two node visits per while trip (TPU_RT_T8_K2, default on): same
-    visit count and vector work, half the serial per-trip overhead
-    (pop/drain/push). Measured (cbbunny 8spp, interleaved repeats):
-    bunny 5.42 -> 5.62, transforms 4.47 -> 4.80, W8 bunny 4.71 -> 5.33;
-    cb (16-tri box) loses ~5% (second slot mostly empty on a 1-level
-    tree) and cb_texture is flat (texture-bound). W<=16 builds only
-    (two W-bit vote masks share the one drained int32)."""
+def t8_kn(width: int) -> int:
+    """Node visits per while trip (TPU_RT_T8_K, default 2): same visit
+    count and vector work, 1/K the serial per-trip overhead
+    (pop/drain/push). Measured at K=2 (cbbunny 8spp, interleaved
+    repeats): bunny 5.42 -> 5.62, transforms 4.47 -> 4.80, W8 bunny
+    4.71 -> 5.33; cb (16-tri box) loses ~5% (extra slots mostly empty
+    on a 1-level tree) and cb_texture is flat (texture-bound). Clamped
+    so all K W-bit vote masks share the one drained int32 (K*W <= 32;
+    W=32 always runs K=1). TPU_RT_T8_K2=0 is honoured as K=1 for
+    back-compat with the knob's first landing."""
     import os as _o
 
-    return _o.environ.get("TPU_RT_T8_K2", "1") == "1"
+    if _o.environ.get("TPU_RT_T8_K2") == "0":
+        return 1
+    k = int(_o.environ.get("TPU_RT_T8_K", "2"))
+    return max(1, min(k, 32 // width))
 
 
 def t8_nwalk() -> int:
@@ -1736,8 +1742,7 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
         else:
             w = int(ds.meta.t8_width)
             t, best, visits = _t8_tiles(
-                (interpret, tsub, w, t8_nwalk(), lg,
-                 t8_k2() and w <= 16),
+                (interpret, tsub, w, t8_nwalk(), lg, t8_kn(w)),
                 av.t8_nodes, av.t8_tris, av.t8_meta, early_exit, cols,
             )
     elif kind in ("quad", "quadrow"):
