@@ -184,6 +184,12 @@ class DeviceScene:
     mat_pack: jax.Array   # (M, 8) i32: kind, tex0..4, remap
     tex_pack: jax.Array   # (X, 16) f32: v0, v1, bits[ref0/first_level,
                           # ref1, ref2, kind, filter, wrap, n_levels]
+    # material-major join of the 5 texture slots' rows (M, 80): slot j's
+    # tex_pack row (of max(tex_id, 0), matching eval_texture's clamp) at
+    # cols 16j..16j+16 — ONE row gather per bounce replaces the material
+    # row + five texture row gathers (gathers cost per ROW; the bounce
+    # body's table gathers were ~22% of device time, docs/PERF_LOG.md)
+    mat_tex_rows: jax.Array
     lvl_pack: jax.Array   # (LV, 4) i32: offset, w, h
     # child-pair rows for stack-based near-first traversal: one row per
     # INTERNAL node = [L.min, L.max, R.min, R.max, bits(metaL), bits(metaR),
@@ -1258,6 +1264,12 @@ def compile_scene(scene: Scene) -> DeviceScene:
     ti[:, 6] = np.where(is_img, img_n_levels[img_id], 0)
     tex_pack[:, 8:16] = ti.view(F)
 
+    # material-major join of the texture slots' rows (see DeviceScene doc)
+    mat_tex_rows = np.zeros((n_mats, 5 * 16), F)
+    for j in range(5):
+        mat_tex_rows[:, 16 * j:16 * (j + 1)] = tex_pack[
+            np.maximum(mat_tex[:, j], 0)]
+
     lvl_pack = np.zeros((img_level_offset.shape[0], 4), np.int32)
     lvl_pack[:, 0] = img_level_offset
     lvl_pack[:, 1] = img_level_w
@@ -1460,6 +1472,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         sph_mat=dev(sph_mat), sph_light=dev(sph_light),
         mat_kind=dev(mat_kind), mat_tex=dev(mat_tex), mat_remap=dev(mat_remap),
         mat_pack=dev(mat_pack), tex_pack=dev(tex_pack), lvl_pack=dev(lvl_pack),
+        mat_tex_rows=dev(mat_tex_rows),
         tex_kind=dev(tex_kind), tex_v0=dev(tex_v0), tex_v1=dev(tex_v1),
         tex_ref=dev(tex_ref), tex_filter=dev(tex_filter), tex_wrap=dev(tex_wrap),
         img_texels=dev(img_texels),

@@ -28,7 +28,7 @@ from ..device.scene_buffers import (
 from .complexmath import fresnel_complex
 from .linalg import dot, normalize
 from .rng import sample_unit_disk
-from .textures import EvalCtx, eval_texture
+from .textures import EvalCtx, eval_texture, eval_texture_from_row
 
 MINIMUM_ROUGHNESS = 1.0e-3
 
@@ -80,10 +80,17 @@ def get_bsdf_params(
     kind = mp[:, 0]
     tex = mp[:, 1:6]
     remap = mp[:, 6] != 0
+    # the 5 slot textures' rows in one material-major join (one row
+    # gather instead of five tex_pack gathers; rows identical bits to
+    # tex_pack[max(tex[:, j], 0)], so evaluation is bit-exact)
+    rows = ds.mat_tex_rows[mat_id]
 
-    t0 = eval_texture(ds, tex[:, 0], ctx, has_derivs)  # albedo / eta
-    t1 = eval_texture(ds, tex[:, 1], ctx, has_derivs)  # kappa / dielectric eta
-    t2 = eval_texture(ds, tex[:, 2], ctx, has_derivs)  # roughness
+    def slot(j):
+        return rows[:, 16 * j:16 * (j + 1)]
+
+    t0 = eval_texture_from_row(ds, slot(0), ctx, has_derivs)  # albedo / eta
+    t1 = eval_texture_from_row(ds, slot(1), ctx, has_derivs)  # kappa / eta
+    t2 = eval_texture_from_row(ds, slot(2), ctx, has_derivs)  # roughness
     has_rough_tex = tex[:, 2] >= 0
 
     is_layered = kind == MAT_COATED_DIFFUSE
@@ -110,8 +117,9 @@ def get_bsdf_params(
     ).astype(jnp.int32)
 
     if MAT_COATED_DIFFUSE in ds.meta.mat_kinds_present:
-        thickness = eval_texture(ds, tex[:, 3], ctx, has_derivs)[:, 0]
-        coat_albedo = eval_texture(ds, tex[:, 4], ctx, has_derivs)[:, :3]
+        thickness = eval_texture_from_row(ds, slot(3), ctx, has_derivs)[:, 0]
+        coat_albedo = eval_texture_from_row(
+            ds, slot(4), ctx, has_derivs)[:, :3]
     else:
         thickness = jnp.zeros_like(alpha_x)
         coat_albedo = jnp.zeros_like(albedo)

@@ -247,6 +247,14 @@ def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True):
     """
     tid = jnp.maximum(tid, 0)
     row = ds.tex_pack[tid]  # one wide gather
+    return eval_texture_from_row(ds, row, ctx, has_derivs)
+
+
+def eval_texture_from_row(ds: DeviceScene, row, ctx: EvalCtx,
+                          has_derivs=True):
+    """eval_texture on a pre-gathered (B, 16) tex_pack row — the bounce
+    body gathers all of a material's slot rows in ONE join
+    (ds.mat_tex_rows) instead of five separate table gathers."""
     out = _leaf_from_row(ds, row, ctx, has_derivs)
     kinds = ds.meta.tex_kinds_present
     if TEX_SCALE in kinds or TEX_MIX in kinds:
