@@ -929,7 +929,8 @@ def _ffs(m, w: int):
 
 
 def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
-               W: int, NW: int, LG: int = 8, kn: int = 1):
+               W: int, NW: int, LG: int = 8, kn: int = 1,
+               order: bool = False):
     """Transposed wide-node walk: children in SUBLANES, rays in LANES.
 
     Round-2 redesign targeting the measured per-visit latency wall (~0.7 us,
@@ -966,11 +967,13 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
         return pltpu.roll(x, (LANE - sh) % LANE, axis=1)
 
     FLD = 6 if W == 32 else 5  # meta child-count field width (builder _t8_fld)
-    if kn > 1 and kn * W > 32:
-        raise ValueError("kn packs kn W-bit vote masks into one int32")
-    # kn>1 can hold kn stack entries per depth level, so its SMEM stack
-    # is allocated at kn x the builder bound (same t8_stack check)
-    CAPW = STACK_CAP * (2 if W == 32 else max(kn, 1))
+    # order splits each node's votes into near/far groups (2 masks/node)
+    GPN = 2 if order else 1   # drained mask groups per node
+    if (kn > 1 or order) and kn * W * GPN > 32:
+        raise ValueError("drained vote masks must share one int32")
+    # kn>1/order can hold several stack entries per depth level, so the
+    # SMEM stack is allocated at that multiple (same t8_stack check)
+    CAPW = STACK_CAP * (2 if W == 32 else max(kn * GPN, 1))
 
     def kernel(nodes_ref, tris_ref, meta_ref,
                ox, oy, oz, dx, dy, dz, tmn, tmx, act,
@@ -1226,6 +1229,7 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                     want = live0 * walk_on
 
                 cnts = [jnp.zeros((W, 1), jnp.int32) for _ in range(kn)]
+                ksums = [jnp.zeros((W, 1), jnp.float32) for _ in range(kn)]
                 hits_k = [[] for _ in range(kn)]
                 for r in range(R):
                     wb = rowb(want, r, W) > 0
@@ -1246,29 +1250,67 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                         hits_k[j].append(h)
                         cnts[j] = cnts[j] + jnp.sum(
                             h.astype(jnp.int32), axis=1, keepdims=True)
+                        if order:
+                            # consensus entry distance for near/far split
+                            ksums[j] = ksums[j] + jnp.sum(
+                                jnp.where(h, jnp.maximum(t0, 0.0), 0.0),
+                                axis=1, keepdims=True)
 
                 bits = jnp.zeros((W, 1), jnp.int32)
                 for j in range(kn):
                     valid = (w_col < nis[j]) | (w_col >= W - nls[j])
-                    # node j's votes in bits j*W.. (shift<=31: kn*W<=32)
-                    wt_j = wt if j == 0 else jnp.left_shift(
-                        jnp.int32(1), w_col + j * W)
-                    vote = jnp.where((cnts[j] > 0) & valid, wt_j, 0)
+                    hitv = (cnts[j] > 0) & valid
+                    if order:
+                        # near = children whose mean entry distance is at
+                        # most the mean over hit children (vector-only:
+                        # sublane reductions, no extra drain). Votes go
+                        # to bits (2j)W (near) / (2j+1)W (far); far
+                        # entries are pushed below near, so the walk
+                        # descends front-to-back and t_best tightens
+                        # before far subtrees are expanded.
+                        mean = ksums[j] / jnp.maximum(
+                            cnts[j].astype(jnp.float32), 1.0)
+                        nh = jnp.sum(hitv.astype(jnp.float32), axis=0,
+                                     keepdims=True)
+                        tot = jnp.sum(jnp.where(hitv, mean, 0.0), axis=0,
+                                      keepdims=True)
+                        thr = tot / jnp.maximum(nh, 1.0)
+                        near = mean <= jnp.broadcast_to(thr, (W, 1))
+                        wt_n = jnp.left_shift(
+                            jnp.int32(1), w_col + 2 * j * W)
+                        wt_f = jnp.left_shift(
+                            jnp.int32(1), w_col + (2 * j + 1) * W)
+                        vote = (jnp.where(hitv & near, wt_n, 0)
+                                + jnp.where(hitv & ~near, wt_f, 0))
+                    else:
+                        # node j's votes in bits j*W.. (shift<=31)
+                        wt_j = wt if j == 0 else jnp.left_shift(
+                            jnp.int32(1), w_col + j * W)
+                        vote = jnp.where(hitv, wt_j, 0)
                     bits = bits + (vote if j == 0 else vote * ons[j])
                 mask_s = jnp.sum(bits)       # the ONE vector->scalar drain
                 if early_exit:
                     aw = jnp.sum(want)
 
                 imasks, lmasks = [], []
+                fmasks = []
                 for j in range(kn):
                     mask_j = jax.lax.shift_right_logical(
-                        mask_s, j * W) & ((1 << W) - 1)
+                        mask_s, GPN * j * W) & ((1 << W) - 1)
                     imask_j = mask_j & ((jnp.int32(1) << nis[j]) - 1)
                     imasks.append(imask_j)
-                    lmasks.append(mask_j - imask_j)
+                    lmask_j = mask_j - imask_j
+                    if order:
+                        far_j = jax.lax.shift_right_logical(
+                            mask_s, (2 * j + 1) * W) & ((1 << W) - 1)
+                        fmasks.append(far_j & ((jnp.int32(1) << nis[j]) - 1))
+                        lmask_j = lmask_j + (far_j - fmasks[j])
+                    lmasks.append(lmask_j)
 
-                for j in range(kn):
-                    imask_j, cbase_j, sp_j = imasks[j], cbases[j], sp
+                push = list(zip(fmasks, cbases)) if order else []
+                push += list(zip(imasks, cbases))
+                for imask_j, cbase_j in push:
+                    sp_j = sp
 
                     @pl.when(imask_j != 0)
                     def _(imask_j=imask_j, cbase_j=cbase_j, sp_j=sp_j):
@@ -1366,7 +1408,7 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                 return alive
 
             def body(c):
-                step = visitk if kn > 1 else visit
+                step = visitk if (kn > 1 or order) else visit
                 return tuple(step(wk, c[wk]) for wk in range(NW))
 
             init = tuple(
@@ -1541,8 +1583,9 @@ def brute_groups_max() -> int:
 def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
     interpret, R, W, NW, LG = shape_key[:5]
     kn = int(shape_key[5]) if len(shape_key) > 5 else 1
+    order = bool(shape_key[6]) if len(shape_key) > 6 else False
     g = cols[0].shape[0] // R
-    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW, LG, kn)
+    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW, LG, kn, order)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -1555,7 +1598,8 @@ def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
         + [full] * 9,
         out_specs=(full, full, pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.SMEM(
-            (NW * STACK_CAP * (2 if W == 32 else max(kn, 1)),),
+            (NW * STACK_CAP
+             * (2 if W == 32 else max(kn * (2 if order else 1), 1)),),
             jnp.int32)],
         interpret=interpret,
     )(nodes, tris, meta, *cols)
@@ -1588,7 +1632,18 @@ def t8_kn(width: int) -> int:
     if _o.environ.get("TPU_RT_T8_K2") == "0":
         return 1
     k = int(_o.environ.get("TPU_RT_T8_K", "2"))
-    return max(1, min(k, 32 // width))
+    return max(1, min(k, 32 // (width * (2 if t8_order() else 1))))
+
+
+def t8_order() -> bool:
+    """Near/far ordered pushes (TPU_RT_T8_ORDER): each visit splits its
+    hit children into near/far groups by consensus entry distance (two
+    W-bit masks per node in the one drained int32) and pushes far below
+    near, so the walk descends front-to-back and t_best tightens before
+    far subtrees expand. Costs half the drain bits, so K halves."""
+    import os as _o
+
+    return _o.environ.get("TPU_RT_T8_ORDER", "0") == "1"
 
 
 def t8_nwalk() -> int:
@@ -1742,7 +1797,8 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
         else:
             w = int(ds.meta.t8_width)
             t, best, visits = _t8_tiles(
-                (interpret, tsub, w, t8_nwalk(), lg, t8_kn(w)),
+                (interpret, tsub, w, t8_nwalk(), lg, t8_kn(w),
+                 t8_order() and w <= 16),
                 av.t8_nodes, av.t8_tris, av.t8_meta, early_exit, cols,
             )
     elif kind in ("quad", "quadrow"):
