@@ -930,7 +930,7 @@ def _ffs(m, w: int):
 
 def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                W: int, NW: int, LG: int = 8, kn: int = 1,
-               order: bool = False):
+               order: bool = False, lk: int = 1):
     """Transposed wide-node walk: children in SUBLANES, rays in LANES.
 
     Round-2 redesign targeting the measured per-visit latency wall (~0.7 us,
@@ -1320,15 +1320,15 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                     sp = sp + (imask_j != 0).astype(jnp.int32)
 
                 def leaf_loop(lm0, lbase, hits, nv, t_best, best):
-                    def lcond(lc):
-                        return lc[0] != 0
-
-                    def lbody(lc):
-                        lm, nv, t_best, best = lc
-                        nv = nv + (1 << 16)
-                        s, llow = _ffs(lm, W)
-                        lm = lm - llow
+                    def mt_one(s, on, t_best, best):
+                        """One leaf group's Moller-Trumbore (group s of
+                        this node). on=None: unconditionally valid; else
+                        a scalar guard (lk>1 pairing may run out of
+                        pending groups — a guarded-off slot reads group
+                        0 and contributes nothing)."""
                         q = lbase + (W - 1 - s)
+                        if on is not None:
+                            q = jnp.where(on, q, 0)
                         tb = tris_ref[pl.ds((q // G8T_PER_BLOCK) * LG, LG),
                                       :]
                         tb = roll_lanes(tb, (q % G8T_PER_BLOCK) * 10)
@@ -1345,6 +1345,8 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                             hm = jnp.sum((hits[r] & sel).astype(jnp.int32),
                                          axis=0, keepdims=True)  # (1, 128)
                             hm8 = jnp.broadcast_to(hm, (LG, LANE)) > 0
+                            if on is not None:
+                                hm8 = hm8 & on
                             dr = [rowb(d[ax], r, LG) for ax in range(3)]
                             orr = [rowb(o[ax], r, LG) for ax in range(3)]
                             pv0 = dr[1] * e2[2] - dr[2] * e2[1]
@@ -1388,6 +1390,27 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                             best = jnp.where(
                                 take, jnp.broadcast_to(idw, (R, LANE)),
                                 best)
+                        return t_best, best
+
+                    def lcond(lc):
+                        return lc[0] != 0
+
+                    def lbody(lc):
+                        lm, nv, t_best, best = lc
+                        nv = nv + (1 << 16)
+                        s, llow = _ffs(lm, W)
+                        lm = lm - llow
+                        t_best, best = mt_one(s, None, t_best, best)
+                        for _ in range(lk - 1):
+                            # pair further pending groups into this trip
+                            # (same vector work; the serial trip floor is
+                            # amortized exactly like K2 node pairing)
+                            on = lm != 0
+                            s2, low2 = _ffs(lm, W)
+                            lm = lm - low2
+                            nv = nv + jnp.where(
+                                on, jnp.int32(1 << 16), jnp.int32(0))
+                            t_best, best = mt_one(s2, on, t_best, best)
                         return lm, nv, t_best, best
 
                     return jax.lax.while_loop(
@@ -1584,8 +1607,10 @@ def _t8_tiles(shape_key, nodes, tris, meta, early_exit, cols):
     interpret, R, W, NW, LG = shape_key[:5]
     kn = int(shape_key[5]) if len(shape_key) > 5 else 1
     order = bool(shape_key[6]) if len(shape_key) > 6 else False
+    lk = int(shape_key[7]) if len(shape_key) > 7 else 1
     g = cols[0].shape[0] // R
-    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW, LG, kn, order)
+    kernel = _t8_kernel(early_exit, g, R, interpret, W, NW, LG, kn, order,
+                        lk)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -1633,6 +1658,16 @@ def t8_kn(width: int) -> int:
         return 1
     k = int(_o.environ.get("TPU_RT_T8_K", "2"))
     return max(1, min(k, 32 // (width * (2 if t8_order() else 1))))
+
+
+def t8_lk() -> int:
+    """Leaf groups per leaf-loop trip (TPU_RT_T8_LK): pairs further
+    pending groups into one while trip — same vector work, the serial
+    trip floor amortized exactly like K2 node pairing. Only the
+    visitk path (K>1 or ordered) has the pairing."""
+    import os as _o
+
+    return max(1, int(_o.environ.get("TPU_RT_T8_LK", "1")))
 
 
 def t8_order() -> bool:
@@ -1798,7 +1833,7 @@ def intersect_tris_pallas(ds, origin, direction, t_min, t_max, active,
             w = int(ds.meta.t8_width)
             t, best, visits = _t8_tiles(
                 (interpret, tsub, w, t8_nwalk(), lg, t8_kn(w),
-                 t8_order() and w <= 16),
+                 t8_order() and w <= 16, t8_lk()),
                 av.t8_nodes, av.t8_tris, av.t8_meta, early_exit, cols,
             )
     elif kind in ("quad", "quadrow"):
