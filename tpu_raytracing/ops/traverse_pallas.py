@@ -1374,6 +1374,18 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                                   & (t <= jnp.broadcast_to(
                                       tb_row, (LG, LANE)))
                                   & hm8)
+                            sel_r = row_iota == r
+                            if early_exit:
+                                # any-hit: no winner argmin, no t_best
+                                # refinement — only the hit/miss verdict
+                                # is consumed (occluded(), prim >= 0);
+                                # want drops the lane next visit anyway
+                                occ = jnp.sum(ok.astype(jnp.int32),
+                                              axis=0, keepdims=True)
+                                take = sel_r & (jnp.broadcast_to(
+                                    occ, (R, LANE)) > 0)
+                                best = jnp.where(take, jnp.int32(0), best)
+                                continue
                             t_sl = jnp.where(ok, t, INF)
                             tg = jnp.min(t_sl, axis=0, keepdims=True)
                             tg8 = jnp.broadcast_to(tg, (LG, LANE))
@@ -1381,7 +1393,6 @@ def _t8_kernel(early_exit: bool, g: int, R: int, interpret: bool,
                                 jnp.where(t_sl == tg8, idb,
                                           jnp.int32(1 << 30)),
                                 axis=0, keepdims=True)
-                            sel_r = row_iota == r
                             updR = jnp.broadcast_to(tg, (R, LANE)) < INF
                             take = sel_r & updR
                             t_best = jnp.where(
