@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -79,6 +79,7 @@ class SceneMeta:
     mat_kinds_present: Tuple[int, ...]
     tex_kinds_present: Tuple[int, ...]
     any_trilinear: bool
+    any_nearest: bool
     has_env: bool
     env_tex: int
     # camera
@@ -216,6 +217,13 @@ class DeviceScene:
     tex_wrap: jax.Array
     # image mip atlas
     img_texels: jax.Array        # (P, 4)
+    # quad atlas: row i = the full clamped 2x2 bilinear footprint anchored
+    # at texel i ([p(x,y), p(x+1,y), p(x,y+1), p(x+1,y+1)], +1 edge-clamped
+    # at build time) — ONE row gather per bilerp tap instead of four.
+    # None when the scene has no images, the 4x blow-up exceeds the
+    # memory cap, or the backend is CPU (default — see the build site;
+    # textures.py falls back to the 4-gather path).
+    img_quads: Optional[jax.Array]  # (P, 16) or None
     img_level_offset: jax.Array  # (LV,)
     img_level_w: jax.Array
     img_level_h: jax.Array
@@ -1176,9 +1184,12 @@ def compile_scene(scene: Scene) -> DeviceScene:
 
     # ---------------- images (mip atlas)
     trilinear_images = set()
+    any_nearest = False
     for t in scene.textures:
         if isinstance(t, ImageTexture) and t.sampler.filter == FilterMode.TRILINEAR:
             trilinear_images.add(t.image)
+        if isinstance(t, ImageTexture) and t.sampler.filter == FilterMode.NEAREST:
+            any_nearest = True
 
     texels = []
     level_offset, level_w, level_h = [], [], []
@@ -1207,6 +1218,41 @@ def compile_scene(scene: Scene) -> DeviceScene:
     img_level_offset = np.asarray(level_offset or [0], np.int32)
     img_level_w = np.asarray(level_w or [1], np.int32)
     img_level_h = np.asarray(level_h or [1], np.int32)
+
+    # quad atlas (see DeviceScene.img_quads): per-lane table gathers cost
+    # per ROW on TPU, so folding the 2x2 footprint into one 16-wide row
+    # quarters the texture-fetch gather count (cb_texture was bound on
+    # these gathers). Cap the 4x memory blow-up at 256 MB.
+    # Default ON only on TPU: the extra gather width restructures XLA:CPU's
+    # fused shading loops enough that FMA contraction becomes chunk-shape-
+    # dependent (9 cb_texture pixels flip a last ULP between chunk_pixels
+    # 1<<13 and 1<<11), which would break the CPU backend's strict
+    # bit-exact chunk-invariance contract. TPU renders are gated
+    # statistically and already differ from CPU by contraction ULPs.
+    quad_env = os.environ.get("TPU_RT_QUAD_ATLAS")
+    if quad_env is None:
+        try:
+            quad_on = jax.default_backend() == "tpu"
+        except Exception:
+            quad_on = False
+    else:
+        quad_on = quad_env != "0"
+    img_quads = None
+    if (
+        texels
+        and img_texels.shape[0] * 64 <= 256 * 1024 * 1024
+        and quad_on
+    ):
+        quads = []
+        for off, w, h in zip(level_offset, level_w, level_h):
+            lvl = img_texels[off:off + w * h].reshape(h, w, 4)
+            xp = np.concatenate([lvl[:, 1:], lvl[:, -1:]], axis=1)
+            q_top = np.concatenate([lvl, xp], axis=2)          # (h, w, 8)
+            q_bot = np.concatenate([q_top[1:], q_top[-1:]], axis=0)
+            quads.append(
+                np.concatenate([q_top, q_bot], axis=2).reshape(-1, 16)
+            )
+        img_quads = np.concatenate(quads, axis=0).astype(F)
 
     # ---------------- textures
     n_tex = max(1, len(scene.textures))
@@ -1394,6 +1440,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         mat_kinds_present=tuple(sorted(kinds_present)),
         tex_kinds_present=tuple(sorted({int(k) for k in tex_kind})),
         any_trilinear=bool(trilinear_images),
+        any_nearest=any_nearest,
         has_env=has_env,
         env_tex=env_tex,
         cam_kind=cam_kind,
@@ -1476,6 +1523,7 @@ def compile_scene(scene: Scene) -> DeviceScene:
         tex_kind=dev(tex_kind), tex_v0=dev(tex_v0), tex_v1=dev(tex_v1),
         tex_ref=dev(tex_ref), tex_filter=dev(tex_filter), tex_wrap=dev(tex_wrap),
         img_texels=dev(img_texels),
+        img_quads=dev(img_quads) if img_quads is not None else None,
         img_level_offset=dev(img_level_offset),
         img_level_w=dev(img_level_w), img_level_h=dev(img_level_h),
         img_first_level=dev(img_first_level), img_n_levels=dev(img_n_levels),

@@ -112,15 +112,33 @@ def _bilerp(ds: DeviceScene, level, u, v):
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = jnp.clip(jnp.floor(x), 0.0, w - 1.0).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil(x), 0.0, w - 1.0).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(y), 0.0, h - 1.0).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil(y), 0.0, h - 1.0).astype(jnp.int32)
     xf = jnp.clip(x - jnp.floor(x), 0.0, 1.0)[:, None]
     yf = jnp.clip(y - jnp.floor(y), 0.0, 1.0)[:, None]
-    p00 = _fetch_texel(ds, offset, w_i, x0, y0)
-    p01 = _fetch_texel(ds, offset, w_i, x1, y0)
-    p10 = _fetch_texel(ds, offset, w_i, x0, y1)
-    p11 = _fetch_texel(ds, offset, w_i, x1, y1)
+    if ds.img_quads is not None:
+        # ONE row gather returns the whole 2x2 footprint. The quad row
+        # bakes the HIGH-edge clamp (x+1 -> min(x+1, w-1)); the LOW edge
+        # (x < 0 after the -0.5 pixel-center shift: ceil(x) clamps to 0,
+        # so both taps read column 0) is replicated with selects so the
+        # blend arithmetic below stays bit-identical to the 4-gather path.
+        q = ds.img_quads[offset + y0 * w_i + x0]
+        q00, q01 = q[:, 0:4], q[:, 4:8]
+        q10, q11 = q[:, 8:12], q[:, 12:16]
+        xneg = (x < 0.0)[:, None]
+        yneg = (y < 0.0)[:, None]
+        p00 = q00
+        p01 = jnp.where(xneg, q00, q01)
+        p10 = jnp.where(yneg, q00, q10)
+        p11 = jnp.where(
+            xneg, jnp.where(yneg, q00, q10), jnp.where(yneg, q01, q11)
+        )
+    else:
+        x1 = jnp.clip(jnp.ceil(x), 0.0, w - 1.0).astype(jnp.int32)
+        y1 = jnp.clip(jnp.ceil(y), 0.0, h - 1.0).astype(jnp.int32)
+        p00 = _fetch_texel(ds, offset, w_i, x0, y0)
+        p01 = _fetch_texel(ds, offset, w_i, x1, y0)
+        p10 = _fetch_texel(ds, offset, w_i, x0, y1)
+        p11 = _fetch_texel(ds, offset, w_i, x1, y1)
     u0 = p00 * (1.0 - xf) + p01 * xf
     u1 = p10 * (1.0 - xf) + p11 * xf
     return u0 * (1.0 - yf) + u1 * yf
@@ -158,10 +176,15 @@ def _sample_image(ds: DeviceScene, row, ints, ctx: EvalCtx, has_derivs=True):
     v = _apply_wrap(wrap, ctx.uv[:, 1])
 
     bilinear = _bilerp(ds, mip0, u, v)
-    nearest = _point_sample(ds, mip0, u, v)
-    out = jnp.where(
-        (filt == int(FilterMode.NEAREST))[:, None], nearest, bilinear
-    )
+    # no NEAREST-filtered image texture in the scene (static fact) ⇒ the
+    # point-sample tap (one gather/lane/bounce) compiles out entirely
+    if ds.meta.any_nearest:
+        nearest = _point_sample(ds, mip0, u, v)
+        out = jnp.where(
+            (filt == int(FilterMode.NEAREST))[:, None], nearest, bilinear
+        )
+    else:
+        out = bilinear
     # has_derivs=False (static) ⇒ ctx derivatives are all zero ⇒ the mip
     # footprint is invalid and trilinear falls back to bilinear anyway —
     # skip the two extra mip taps (8 gathers/lane) entirely. Bit-exact.

@@ -18,7 +18,9 @@ from typing import List, Optional
 from .diff import compare_images
 from .test_spec import TestSpec
 
-TIMEOUT_SECONDS = 1200  # remote-TPU first compiles can be minutes
+# remote-TPU first compiles can be minutes; the layered coated_diffuse
+# bunny takes >20 min single-process on the CPU backend
+TIMEOUT_SECONDS = int(os.environ.get("RTTEST_TIMEOUT", "2400"))
 
 
 @dataclass
