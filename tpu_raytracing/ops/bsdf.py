@@ -27,6 +27,7 @@ from ..device.scene_buffers import (
 )
 from .complexmath import fresnel_complex
 from .linalg import dot, normalize
+from .tables import select_rows
 from .rng import sample_unit_disk
 from .textures import EvalCtx, eval_texture, eval_texture_from_row
 
@@ -76,14 +77,16 @@ def get_bsdf_params(
     (materials.rs get_bsdf semantics incl. roughness remap + smooth fallback).
     has_derivs: static no-footprint promise, see ops/textures.eval_texture."""
     mat_id = jnp.maximum(mat_id, 0)
-    mp = ds.mat_pack[mat_id]  # one wide gather: kind, tex0..4, remap
+    # tiny static tables: select-chain beats a per-lane row gather (~10x,
+    # ops/tables.py); falls back to the gather for big material sets
+    mp = select_rows(ds.mat_pack, mat_id)  # kind, tex0..4, remap
     kind = mp[:, 0]
     tex = mp[:, 1:6]
     remap = mp[:, 6] != 0
     # the 5 slot textures' rows in one material-major join (one row
     # gather instead of five tex_pack gathers; rows identical bits to
     # tex_pack[max(tex[:, j], 0)], so evaluation is bit-exact)
-    rows = ds.mat_tex_rows[mat_id]
+    rows = select_rows(ds.mat_tex_rows, mat_id)
 
     def slot(j):
         return rows[:, 16 * j:16 * (j + 1)]

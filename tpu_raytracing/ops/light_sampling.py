@@ -22,6 +22,7 @@ from ..device.scene_buffers import (
     DeviceScene, LIGHT_AREA, LIGHT_DIRECTION, LIGHT_POINT,
 )
 from .linalg import cross, dot, normalize
+from .tables import select_rows
 from .rng import SampleStream, SamplerConfig, sample_uniform, sample_uniform2
 from .textures import EvalCtx, eval_texture
 
@@ -91,7 +92,9 @@ def sample_light(
     b1 = jnp.where(lt, u1 - u0 / 2.0, u1 / 2.0)
     b2 = 1.0 - b0 - b1
 
-    sh = ds.em_shade[idx]  # one wide gather instead of 8 narrow ones
+    # one wide fetch instead of 8 narrow ones; select-chain when the
+    # emitter set is tiny (ops/tables.py)
+    sh = select_rows(ds.em_shade, idx)
     p0, p1, p2 = sh[:, 0:3], sh[:, 3:6], sh[:, 6:9]
     p_world = b0[:, None] * p0 + b1[:, None] * p1 + b2[:, None] * p2
     dir_world = point - p_world
@@ -135,9 +138,9 @@ def sample_light(
 def light_emitted_radiance(ds: DeviceScene, light_idx):
     """Radiance seen when a path directly hits an emitter (lights.rs:124-135)."""
     li = jnp.maximum(light_idx, 0)
-    is_area = ds.light_kind[li] == LIGHT_AREA
+    is_area = select_rows(ds.light_kind, li) == LIGHT_AREA
     return jnp.where(
-        ((light_idx >= 0) & is_area)[:, None], ds.light_vb[li], 0.0
+        ((light_idx >= 0) & is_area)[:, None], select_rows(ds.light_vb, li), 0.0
     )
 
 
