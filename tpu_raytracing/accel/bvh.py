@@ -22,7 +22,16 @@ from dataclasses import dataclass
 import numpy as np
 
 F = np.float32
-MAX_LEAF_SIZE = 4
+# Max prims per leaf. The node encodings pack the count in 3 bits
+# ((first<<3)|count in the skip-link/pair/quad layouts), so 7 is the
+# ceiling without an encoding change. Read once at import so the builder
+# and every kernel's static leaf unroll agree; default 4 keeps the
+# blessed snapshots' BVHs byte-identical. TPU_RT_BVH_LEAF=5..7 trades
+# deeper leaves for fewer internal nodes (the lockstep tile union pays
+# per NODE, docs/PERF_LOG.md round 3).
+import os as _os
+
+MAX_LEAF_SIZE = min(7, max(1, int(_os.environ.get("TPU_RT_BVH_LEAF", "4"))))
 N_BINS = 16
 
 
