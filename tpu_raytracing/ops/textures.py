@@ -22,6 +22,7 @@ from ..device.scene_buffers import (
     DeviceScene, TEX_CHECKER, TEX_CONSTANT, TEX_IMAGE, TEX_MIX, TEX_SCALE,
 )
 from ..materials import FilterMode, WrapMode
+from .tables import select_rows
 
 
 class EvalCtx(NamedTuple):
@@ -95,8 +96,10 @@ def _apply_wrap(wrap_kind, x):
 
 
 def _level_info(ds: DeviceScene, level):
-    """(offset, w_i, h_i) of a mip level — one packed gather."""
-    lv = ds.lvl_pack[level]
+    """(offset, w_i, h_i) of a mip level — one packed fetch (select-chain
+    for the usual <=16-level pyramids, ops/tables.py; measured 62 ms per
+    gather per cb_texture render)."""
+    lv = select_rows(ds.lvl_pack, level)
     return lv[:, 0], lv[:, 1], lv[:, 2]
 
 
