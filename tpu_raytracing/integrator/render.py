@@ -129,6 +129,9 @@ def trace_radiance(
         _use_pallas(ds)
         and _os.environ.get("TPU_RT_BOUNCE_SORT", "1") == "1"
     )
+    # merged (B,19) i32 permutation gather + scalar-carry while cond
+    # (A/B knob; default ON — docs/PERF_LOG.md round 4)
+    join_perm = _os.environ.get("TPU_RT_JOIN_PERM", "1") == "1"
 
     _ib = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
         a, jnp.int32)[:, None]
@@ -182,6 +185,11 @@ def trace_radiance(
             pk_i=pki0,
             rays=jnp.zeros((), jnp.int32),
         )
+        if join_perm:
+            # scalar alive count: the while cond reads THIS instead of
+            # re-reducing the whole (B, 14) pack every iteration (the
+            # cond fusion measured ~1% of the traced render)
+            state["n_alive"] = jnp.sum(alive0.astype(jnp.int32))
     else:
         state = dict(
             depth=jnp.zeros((), jnp.int32),
@@ -198,6 +206,8 @@ def trace_radiance(
 
     def cond(s):
         if sort_bounces:
+            if join_perm:
+                return s["n_alive"] > 0
             return jnp.any(s["pk"][:, 12] > 0)
         return jnp.any(s["alive"])
 
@@ -351,8 +361,24 @@ def trace_radiance(
             pk, pk_i = _pack(
                 ray_o, ray_d, radiance, pw, alive, specular, stream, src
             )
+            if not join_perm:
+                return dict(
+                    depth=depth, pk=pk[order], pk_i=pk_i[order], rays=rays
+                )
+            # ONE (B, 19) i32 permutation gather instead of two (f32 14 +
+            # i32 5): TPU row gathers pay a fixed per-row DMA descriptor,
+            # so the merged gather saves ~a whole gather's fixed cost per
+            # bounce. Floats ride bitcast f32->i32 (the SAFE direction —
+            # the TPU canonicalizes NaN-payload f32 bit patterns only in
+            # the f32 domain; i32 transport is bit-exact on every backend).
+            joined = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(pk, jnp.int32), pk_i], axis=1
+            )[order]
+            pk_s = jax.lax.bitcast_convert_type(joined[:, :14], f32)
+            pki_s = joined[:, 14:]
             return dict(
-                depth=depth, pk=pk[order], pk_i=pk_i[order], rays=rays
+                depth=depth, pk=pk_s, pk_i=pki_s, rays=rays,
+                n_alive=jnp.sum(alive.astype(jnp.int32)),
             )
 
         return dict(
