@@ -79,11 +79,20 @@ def test_modes_bit_identical(monkeypatch, scene_setup):
     np.testing.assert_allclose(xla, ref, rtol=1e-3, atol=1e-4)
     assert ref_rays == xla_rays
 
-    # pallas traversal, per-bounce state sort
+    # pallas traversal, per-bounce state sort (default: merged (B,19)
+    # permutation gather + scalar-carry cond, TPU_RT_JOIN_PERM=1)
     monkeypatch.setenv("TPU_RT_BOUNCE_SORT", "1")
     b, b_rays = _seq(ds, cfg, st, px, py)
     np.testing.assert_array_equal(ref, b)
     assert b_rays == ref_rays
+
+    # split-gather carry shape (round-3 executable): the join knob is
+    # pure routing of the same bits and must be BIT-identical
+    monkeypatch.setenv("TPU_RT_JOIN_PERM", "0")
+    bs, bs_rays = _seq(ds, cfg, st, px, py)
+    monkeypatch.delenv("TPU_RT_JOIN_PERM")
+    np.testing.assert_array_equal(b, bs)
+    assert bs_rays == ref_rays
 
     # path regeneration re-schedules the same per-(pixel, sample)
     # estimates, but its different graph fuses differently; near-tangent
