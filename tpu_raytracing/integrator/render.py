@@ -307,17 +307,30 @@ def trace_radiance(
             rays = rays + n_s * jnp.sum(nee_mask.astype(jnp.int32))
             for _ in range(n_s):
                 ls, stream = sample_light(ds, li, hit.point, cfg, stream)
+                wi = _to_local(bx, by, hit.normal, -ls.direction)
+                cos_theta = jnp.maximum(wi[..., 2], 0.0)
+                # zero-contribution NEE samples (back-facing cos==0 or
+                # pdf<=0) skip the occlusion walk entirely: occlusion
+                # cannot change their exactly-zero contribution, and the
+                # early-exit kernel's lockstep tile union only pays for
+                # lanes that want the query. Per-lane walk results are
+                # independent of OTHER lanes' active bits, so surviving
+                # lanes are bit-identical (same guarantee the padding
+                # mask relies on, tests/test_parallel.py).
+                if _os.environ.get("TPU_RT_NEE_GATE", "1") == "1":
+                    shadow_act = (nee_mask & (ls.pdf > 0.0)
+                                  & (cos_theta > 0.0))
+                else:  # pre-round-4 shape: walk every NEE lane
+                    shadow_act = nee_mask & (ls.pdf > 0.0)
                 occ = occluded(
                     ds, ls.origin, ls.direction,
                     jnp.full(B_, 1.0e-3, f32),
                     ls.distance - 1.0e-3,
-                    active=nee_mask,
+                    active=shadow_act,
                     presorted=sort_bounces,
                 )
-                wi = _to_local(bx, by, hit.normal, -ls.direction)
-                good = nee_mask & ~occ & (ls.pdf > 0.0)
+                good = shadow_act & ~occ
                 f = bsdf_eval(params, wo, wi, kinds, active=good)
-                cos_theta = jnp.maximum(wi[..., 2], 0.0)
                 safe_pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
                 c = f * ls.radiance * (cos_theta / safe_pdf)[:, None]
                 contrib = contrib + jnp.where(good[:, None], c, 0.0)
@@ -557,17 +570,30 @@ def trace_radiance_spp(
             rays = rays + n_s * jnp.sum(nee_mask.astype(jnp.int32))
             for _ in range(n_s):
                 ls, stream = sample_light(ds, li, hit.point, cfg, stream)
+                wi = _to_local(bx, by, hit.normal, -ls.direction)
+                cos_theta = jnp.maximum(wi[..., 2], 0.0)
+                # zero-contribution NEE samples (back-facing cos==0 or
+                # pdf<=0) skip the occlusion walk entirely: occlusion
+                # cannot change their exactly-zero contribution, and the
+                # early-exit kernel's lockstep tile union only pays for
+                # lanes that want the query. Per-lane walk results are
+                # independent of OTHER lanes' active bits, so surviving
+                # lanes are bit-identical (same guarantee the padding
+                # mask relies on, tests/test_parallel.py).
+                if _os.environ.get("TPU_RT_NEE_GATE", "1") == "1":
+                    shadow_act = (nee_mask & (ls.pdf > 0.0)
+                                  & (cos_theta > 0.0))
+                else:  # pre-round-4 shape: walk every NEE lane
+                    shadow_act = nee_mask & (ls.pdf > 0.0)
                 occ = occluded(
                     ds, ls.origin, ls.direction,
                     jnp.full(B_, 1.0e-3, f32),
                     ls.distance - 1.0e-3,
-                    active=nee_mask,
+                    active=shadow_act,
                     presorted=sort_bounces,
                 )
-                wi = _to_local(bx, by, hit.normal, -ls.direction)
-                good = nee_mask & ~occ & (ls.pdf > 0.0)
+                good = shadow_act & ~occ
                 f = bsdf_eval(params, wo, wi, kinds, active=good)
-                cos_theta = jnp.maximum(wi[..., 2], 0.0)
                 safe_pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
                 c = f * ls.radiance * (cos_theta / safe_pdf)[:, None]
                 contrib = contrib + jnp.where(good[:, None], c, 0.0)
