@@ -9,7 +9,14 @@ from the environment so this doubles as an A/B harness:
 
     python scripts/perf_scenes.py                    # TPU, defaults
     TPU_RT_BOUNCE_SORT=0 python scripts/perf_scenes.py
-    SCENES=cbbunny,cbbunny_transforms python scripts/perf_scenes.py
+    SCENES=cbbunny,cbbunny_transforms REPEATS=5 python scripts/perf_scenes.py
+
+Measurement protocol (round-4 ±2% resolution, docs/PERF_LOG.md):
+REPEATS warm renders per scene (default 3), report min and median, and
+record the 1-minute loadavg around every repeat — the host is 1-core
+and concurrent CPU work depresses TPU walls ~15%, so any repeat with
+loadavg > 0.7 is flagged LOAD and should not be trusted. For knob A/Bs
+use scripts/ab.py, which interleaves control/treatment processes.
 """
 from __future__ import annotations
 
@@ -17,6 +24,7 @@ import os
 import sys
 import time
 from pathlib import Path
+from statistics import median
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
@@ -30,6 +38,14 @@ CONFIGS = {
     "cbbunny": REF_SCENES / "cbbunny_area_light.glb",
     "cbbunny_transforms": REF_SCENES / "cbbunny_area_light_transforms.glb",
 }
+LOAD_FLAG = 0.7  # 1-core host: above this the wall is depressed ~15%
+
+
+def loadavg() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return -1.0
 
 
 def main():
@@ -49,9 +65,10 @@ def main():
     wanted = os.environ.get("SCENES")
     names = wanted.split(",") if wanted else list(CONFIGS)
     spp = int(os.environ.get("BENCH_SPP", "8"))
-    print(f"backend={jax.default_backend()} spp={spp} "
-          f"sort={os.environ.get('TPU_RT_BOUNCE_SORT', '1')} "
-          f"regen={os.environ.get('TPU_RT_REGEN', '0')}", flush=True)
+    reps = int(os.environ.get("REPEATS", "3"))
+    knobs = {k: v for k, v in os.environ.items() if k.startswith("TPU_RT_")}
+    print(f"backend={jax.default_backend()} spp={spp} reps={reps} "
+          f"load={loadavg():.2f} knobs={knobs}", flush=True)
     rows = []
     for name in names:
         path = CONFIGS[name]
@@ -65,19 +82,32 @@ def main():
         )
         ds = compile_scene(scene)
         out = render(ds, settings)        # compile + warm
-        t0 = time.perf_counter()
-        out = render(ds, settings)
-        wall = time.perf_counter() - t0
-        assert np.isfinite(out.beauty).all()
-        mrays = out.rays_traced / wall / 1e6
-        rows.append((name, wall, out.rays_traced, mrays))
-        print(f"[{time.strftime('%H:%M:%S')}] {name:<22} {wall:7.2f}s "
-              f"{out.rays_traced:>12d} rays  {mrays:7.3f} Mrays/s",
-              flush=True)
+        samples = []
+        for r in range(reps):
+            la0 = loadavg()
+            t0 = time.perf_counter()
+            out = render(ds, settings)
+            wall = time.perf_counter() - t0
+            la1 = loadavg()
+            assert np.isfinite(out.beauty).all()
+            mrays = out.rays_traced / wall / 1e6
+            hot = max(la0, la1) > LOAD_FLAG
+            samples.append((mrays, wall, hot))
+            print(f"[{time.strftime('%H:%M:%S')}] {name:<22} rep{r} "
+                  f"{wall:7.2f}s {mrays:7.3f} Mrays/s  load={la1:.2f}"
+                  f"{'  **LOAD**' if hot else ''}", flush=True)
+        clean = [m for m, _, hot in samples if not hot] or [
+            m for m, _, _ in samples]
+        rows.append((name, out.rays_traced, max(clean), median(clean),
+                     len(samples) - len([1 for _, _, h in samples if not h])))
     print()
-    print(f"{'scene':<22} {'wall s':>8} {'Mrays/s':>9}")
-    for name, wall, rays, mrays in rows:
-        print(f"{name:<22} {wall:8.2f} {mrays:9.3f}")
+    print(f"{'scene':<22} {'rays':>12} {'best':>8} {'median':>8} flagged")
+    for name, rays, best, med, flagged in rows:
+        print(f"{name:<22} {rays:>12d} {best:8.3f} {med:8.3f} {flagged}")
+    # machine-parsable summary (scripts/ab.py reads these)
+    for name, rays, best, med, flagged in rows:
+        print(f"RESULT {name} best={best:.3f} median={med:.3f} "
+              f"flagged={flagged}", flush=True)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,17 @@ def test_modes_bit_identical(monkeypatch, scene_setup):
     np.testing.assert_array_equal(b, bs)
     assert bs_rays == ref_rays
 
+    # NEE gate off (pre-round-4 shape: every NEE lane walks occluded()):
+    # the gate only skips walks whose contribution is exactly zero
+    # (cos==0 or pdf<=0 lanes), so the image must be BIT-identical;
+    # rays_traced counts actually-walked rays, so the ungated leg counts
+    # at least as many (ADVICE.md round 3)
+    monkeypatch.setenv("TPU_RT_NEE_GATE", "0")
+    ng, ng_rays = _seq(ds, cfg, st, px, py)
+    monkeypatch.delenv("TPU_RT_NEE_GATE")
+    np.testing.assert_array_equal(b, ng)
+    assert ng_rays >= ref_rays
+
     # path regeneration re-schedules the same per-(pixel, sample)
     # estimates, but its different graph fuses differently; near-tangent
     # sphere hits amplify those FMA ULPs by ~1/sqrt(disc), so agreement

@@ -7,7 +7,8 @@ from .matrix import (
 )
 from .quaternion import (
     quat_identity, quat_from_rotation_matrix, quat_to_matrix, quat_mul,
-    quat_rotate, quat_normalize,
+    quat_rotate, quat_normalize, quat_from_axis_angle, quat_inverse,
+    quat_conjugate, quat_dot, quat_norm,
 )
 from .transform import Transform
 from .aabb import AABB
@@ -21,7 +22,8 @@ __all__ = [
     "mat_from_basis", "mat_invert", "apply_point", "apply_vector",
     "apply_vector_transposed",
     "quat_identity", "quat_from_rotation_matrix", "quat_to_matrix",
-    "quat_mul", "quat_rotate", "quat_normalize",
+    "quat_mul", "quat_rotate", "quat_normalize", "quat_from_axis_angle",
+    "quat_inverse", "quat_conjugate", "quat_dot", "quat_norm",
     "Transform", "AABB", "Mesh", "load_ply", "Shape", "Sphere",
     "TriangleMesh",
 ]

@@ -15,6 +15,35 @@ def quat_identity() -> np.ndarray:
     return np.array([1.0, 0.0, 0.0, 0.0], dtype=F)
 
 
+def quat_from_axis_angle(axis, angle: float) -> np.ndarray:
+    """Unit quaternion rotating by `angle` radians about unit `axis`
+    (reference: quaternion_from_axis_angle, quaternion.rs)."""
+    axis = np.asarray(axis, F)
+    h = 0.5 * float(angle)
+    return np.concatenate(
+        [np.array([np.cos(h)], F), np.sin(h) * axis]
+    ).astype(F)
+
+
+def quat_norm(q) -> float:
+    return float(np.linalg.norm(np.asarray(q, F)))
+
+
+def quat_dot(a, b) -> float:
+    return float(np.dot(np.asarray(a, F), np.asarray(b, F)))
+
+
+def quat_conjugate(q) -> np.ndarray:
+    q = np.asarray(q, F)
+    return np.array([q[0], -q[1], -q[2], -q[3]], dtype=F)
+
+
+def quat_inverse(q) -> np.ndarray:
+    """q^-1 = conj(q) / |q|^2  (q * q^-1 = identity)."""
+    q = np.asarray(q, F)
+    return (quat_conjugate(q) / np.dot(q, q)).astype(F)
+
+
 def quat_normalize(q) -> np.ndarray:
     q = np.asarray(q, F)
     return (q / np.linalg.norm(q)).astype(F)

@@ -304,7 +304,6 @@ def trace_radiance(
         for li, lk in enumerate(ds.meta.light_kinds):
             n_s = 1 if lk in (LIGHT_POINT, LIGHT_DIRECTION) else st.light_sample_count
             contrib = jnp.zeros((B_, 3), f32)
-            rays = rays + n_s * jnp.sum(nee_mask.astype(jnp.int32))
             for _ in range(n_s):
                 ls, stream = sample_light(ds, li, hit.point, cfg, stream)
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
@@ -321,7 +320,14 @@ def trace_radiance(
                     shadow_act = (nee_mask & (ls.pdf > 0.0)
                                   & (cos_theta > 0.0))
                 else:  # pre-round-4 shape: walk every NEE lane
-                    shadow_act = nee_mask & (ls.pdf > 0.0)
+                    shadow_act = nee_mask
+                # rays_traced counts rays actually WALKED (per-sample
+                # shadow_act sum, inside the n_s loop) so the headline
+                # Mrays/s stays honest under the NEE gate — skipped
+                # zero-contribution shadow rays do not inflate it
+                # (ADVICE.md round 3, counting convention in PERF_LOG
+                # round 4). Reference casts unconditionally lib.rs:340.
+                rays = rays + jnp.sum(shadow_act.astype(jnp.int32))
                 occ = occluded(
                     ds, ls.origin, ls.direction,
                     jnp.full(B_, 1.0e-3, f32),
@@ -567,7 +573,6 @@ def trace_radiance_spp(
         for li, lk in enumerate(ds.meta.light_kinds):
             n_s = 1 if lk in (LIGHT_POINT, LIGHT_DIRECTION) else st.light_sample_count
             contrib = jnp.zeros((B_, 3), f32)
-            rays = rays + n_s * jnp.sum(nee_mask.astype(jnp.int32))
             for _ in range(n_s):
                 ls, stream = sample_light(ds, li, hit.point, cfg, stream)
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
@@ -584,7 +589,9 @@ def trace_radiance_spp(
                     shadow_act = (nee_mask & (ls.pdf > 0.0)
                                   & (cos_theta > 0.0))
                 else:  # pre-round-4 shape: walk every NEE lane
-                    shadow_act = nee_mask & (ls.pdf > 0.0)
+                    shadow_act = nee_mask
+                # count rays actually walked (see beauty-pass note above)
+                rays = rays + jnp.sum(shadow_act.astype(jnp.int32))
                 occ = occluded(
                     ds, ls.origin, ls.direction,
                     jnp.full(B_, 1.0e-3, f32),
