@@ -24,7 +24,8 @@ from statistics import median
 
 REPO = Path(__file__).resolve().parents[1]
 RESULT_RE = re.compile(
-    r"^RESULT (\S+) best=([\d.]+) median=([\d.]+) flagged=(\d+)")
+    r"^RESULT (\S+) best=([\d.]+) median=([\d.]+) wall=([\d.]+) "
+    r"flagged=(\d+)")
 
 
 def run_leg(knob: str, value: str, scene: str, reps: int) -> dict:
@@ -42,7 +43,7 @@ def run_leg(knob: str, value: str, scene: str, reps: int) -> dict:
         m = RESULT_RE.match(line)
         if m:
             out = {"best": float(m.group(2)), "median": float(m.group(3)),
-                   "flagged": int(m.group(4))}
+                   "wall": float(m.group(4)), "flagged": int(m.group(5))}
     if not out:
         print(p.stdout[-2000:], file=sys.stderr)
         print(p.stderr[-2000:], file=sys.stderr)
@@ -58,6 +59,10 @@ def main():
     ap.add_argument("--scene", default="cbbunny")
     ap.add_argument("--pairs", type=int, default=2)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--wall", action="store_true",
+                    help="compare min wall seconds (lower wins) instead of "
+                         "Mrays/s — required when the knob changes "
+                         "rays_traced itself")
     args = ap.parse_args()
 
     a_best, b_best = [], []
@@ -65,20 +70,26 @@ def main():
         for tag, val, acc in (("A", args.control, a_best),
                               ("B", args.treatment, b_best)):
             r = run_leg(args.knob, val, args.scene, args.reps)
-            acc.append(r["best"])
+            acc.append(r["wall"] if args.wall else r["best"])
             print(f"pair {i} leg {tag} ({args.knob}={val}): "
                   f"best {r['best']:.3f} median {r['median']:.3f} "
-                  f"flagged {r['flagged']}", flush=True)
+                  f"wall {r['wall']:.2f}s flagged {r['flagged']}",
+                  flush=True)
 
-    ca, cb = max(a_best), max(b_best)
-    ma, mb = median(a_best), median(b_best)
-    delta = (cb - ca) / ca * 100.0
+    if args.wall:
+        ca, cb = min(a_best), min(b_best)
+        ma, mb = median(a_best), median(b_best)
+        delta = (ca - cb) / ca * 100.0  # positive = treatment faster
+    else:
+        ca, cb = max(a_best), max(b_best)
+        ma, mb = median(a_best), median(b_best)
+        delta = (cb - ca) / ca * 100.0
     print(f"\ncontrol  ({args.knob}={args.control}):  "
           f"best {ca:.3f}  median {ma:.3f}")
     print(f"treatment({args.knob}={args.treatment}): "
           f"best {cb:.3f}  median {mb:.3f}")
-    verdict = ("REAL" if abs(delta) > 2.0 and (mb - ma) * delta > 0
-               else "BAND")
+    md = (ma - mb) if args.wall else (mb - ma)
+    verdict = "REAL" if abs(delta) > 2.0 and md * delta > 0 else "BAND"
     print(f"delta {delta:+.1f}%  -> {verdict}")
 
 

@@ -96,18 +96,25 @@ def main():
             print(f"[{time.strftime('%H:%M:%S')}] {name:<22} rep{r} "
                   f"{wall:7.2f}s {mrays:7.3f} Mrays/s  load={la1:.2f}"
                   f"{'  **LOAD**' if hot else ''}", flush=True)
-        clean = [m for m, _, hot in samples if not hot] or [
-            m for m, _, _ in samples]
-        rows.append((name, out.rays_traced, max(clean), median(clean),
-                     len(samples) - len([1 for _, _, h in samples if not h])))
+        clean = [(m, w) for m, w, hot in samples if not hot] or [
+            (m, w) for m, w, _ in samples]
+        rows.append((name, out.rays_traced,
+                     max(m for m, _ in clean),
+                     median(m for m, _ in clean),
+                     min(w for _, w in clean),
+                     len(samples) - len(clean)
+                     if len(clean) < len(samples) else 0))
     print()
-    print(f"{'scene':<22} {'rays':>12} {'best':>8} {'median':>8} flagged")
-    for name, rays, best, med, flagged in rows:
-        print(f"{name:<22} {rays:>12d} {best:8.3f} {med:8.3f} {flagged}")
-    # machine-parsable summary (scripts/ab.py reads these)
-    for name, rays, best, med, flagged in rows:
+    print(f"{'scene':<22} {'rays':>12} {'best':>8} {'median':>8} "
+          f"{'min wall':>9} flagged")
+    for name, rays, best, med, wall, flagged in rows:
+        print(f"{name:<22} {rays:>12d} {best:8.3f} {med:8.3f} "
+              f"{wall:9.2f} {flagged}")
+    # machine-parsable summary (scripts/ab.py reads these); wall is the
+    # leg-comparable number when a knob changes rays_traced itself
+    for name, rays, best, med, wall, flagged in rows:
         print(f"RESULT {name} best={best:.3f} median={med:.3f} "
-              f"flagged={flagged}", flush=True)
+              f"wall={wall:.3f} flagged={flagged}", flush=True)
 
 
 if __name__ == "__main__":

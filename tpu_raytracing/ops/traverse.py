@@ -241,6 +241,10 @@ def intersect_scene(
     if active is None:
         active = jnp.ones((B,), bool)
 
+    from ..utils import raydump
+
+    raydump.emit(early_exit, origin, direction, t_min, t_max, active)
+
     if ds.meta.n_spheres:
         st, sidx = _intersect_spheres(ds, origin, direction, t_min, t_best)
         sph_hit = jnp.isfinite(st) & active
