@@ -291,6 +291,6 @@ int tpu_rt_build_bvh(const float *prim_min, const float *prim_max, int n,
   return n_nodes;
 }
 
-int tpu_rt_abi_version() { return 1; }
+int tpu_rt_abi_version() { return 2; }
 
 }  // extern "C"

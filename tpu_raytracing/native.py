@@ -25,7 +25,7 @@ log = logging.getLogger("tpu_raytracing")
 
 _CSRC = Path(__file__).resolve().parent.parent / "csrc"
 _LIB_PATH = _CSRC / "libtpurt.so"
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 _lib = None
 _load_attempted = False
@@ -68,6 +68,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tpu_rt_build_bvh.argtypes = [
             f32p, f32p, ctypes.c_int, ctypes.c_int,
             f32p, f32p, i32p, i32p, i32p, i32p, ctypes.c_int,
+        ]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        lib.tpu_rt_huf_uncompress.restype = ctypes.c_int
+        lib.tpu_rt_huf_uncompress.argtypes = [
+            u8p, ctypes.c_int64, u16p, ctypes.c_int64,
         ]
         _lib = lib
     except Exception as e:

@@ -1,11 +1,12 @@
-"""Minimal OpenEXR 2.0 scanline codec (pure Python).
+"""Minimal OpenEXR 2.0 scanline codec (pure Python + native Huffman).
 
-Capability parity with the reference's exr output path
-(crates/raytracing-cpu/src/utils.rs:50-131): float32/uint32 channels with
-arbitrary names. Supports writing uncompressed or ZIP-compressed scanline
-files and reading NONE/ZIPS/ZIP-compressed files with HALF/FLOAT/UINT
-channels — enough to round-trip our own outputs and load lat-long
-environment maps.
+Capability parity with the reference's exr paths
+(crates/raytracing-cpu/src/utils.rs:50-131 writes; the `exr` crate reads
+arbitrary real-world files): float32/uint32 channels with arbitrary
+names. Supports writing NONE/ZIP/PIZ scanline files and reading
+NONE/ZIPS/ZIP/PIZ files with HALF/FLOAT/UINT channels — enough to
+round-trip our own outputs and load lat-long environment maps in the
+wild (typically PIZ). PIZ wavelet/Huffman logic lives in exr_piz.py.
 """
 from __future__ import annotations
 
@@ -17,7 +18,7 @@ import numpy as np
 
 MAGIC = 0x01312F76
 PIXEL_UINT, PIXEL_HALF, PIXEL_FLOAT = 0, 1, 2
-COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP = 0, 1, 2, 3
+COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ = 0, 1, 2, 3, 4
 
 _DTYPES = {
     PIXEL_UINT: np.dtype("<u4"),
@@ -104,7 +105,9 @@ def write_exr(
     header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     header += b"\0"
 
-    lines_per_block = {COMP_NONE: 1, COMP_ZIPS: 1, COMP_ZIP: 16}[compression]
+    lines_per_block = {
+        COMP_NONE: 1, COMP_ZIPS: 1, COMP_ZIP: 16, COMP_PIZ: 32,
+    }[compression]
     n_blocks = (height + lines_per_block - 1) // lines_per_block
 
     blocks = []
@@ -119,6 +122,12 @@ def write_exr(
         raw = b"".join(parts)
         if compression == COMP_NONE:
             data = raw
+        elif compression == COMP_PIZ:
+            from .exr_piz import piz_compress
+
+            sizes = [_DTYPES[ch_types[n]].itemsize // 2 for n in names]
+            comp = piz_compress(raw, sizes, width, ny)
+            data = comp if len(comp) < len(raw) else raw
         else:
             comp = zlib.compress(_zip_reorder_encode(raw))
             data = comp if len(comp) < len(raw) else raw
@@ -183,9 +192,11 @@ def read_exr_bytes(raw: bytes) -> Tuple[Dict[str, np.ndarray], int, int]:
     x_min, y_min, x_max, y_max = data_window
     width = x_max - x_min + 1
     height = y_max - y_min + 1
-    if compression not in (COMP_NONE, COMP_ZIPS, COMP_ZIP):
+    if compression not in (COMP_NONE, COMP_ZIPS, COMP_ZIP, COMP_PIZ):
         raise ValueError(f"unsupported EXR compression: {compression}")
-    lines_per_block = 16 if compression == COMP_ZIP else 1
+    lines_per_block = {
+        COMP_NONE: 1, COMP_ZIPS: 1, COMP_ZIP: 16, COMP_PIZ: 32,
+    }[compression]
     n_blocks = (height + lines_per_block - 1) // lines_per_block
 
     offsets = struct.unpack_from(f"<{n_blocks}Q", raw, pos)
@@ -201,7 +212,13 @@ def read_exr_bytes(raw: bytes) -> Tuple[Dict[str, np.ndarray], int, int]:
         ny = min(lines_per_block, height - (y0 - y_min))
         expected = line_bytes * ny
         if size != expected:
-            data = _zip_reorder_decode(zlib.decompress(data))
+            if compression == COMP_PIZ:
+                from .exr_piz import piz_uncompress
+
+                sizes = [_DTYPES[pt].itemsize // 2 for _, pt in channels]
+                data = piz_uncompress(data, sizes, width, ny)
+            else:
+                data = _zip_reorder_decode(zlib.decompress(data))
         p = 0
         for dy in range(ny):
             y = y0 - y_min + dy
