@@ -4,7 +4,11 @@ Renders one Morton pixel chunk of the bench scene at 1 spp through the
 real integrator with TPU_RT_DUMP_RAYS=1 and saves every traversal call's
 inputs to /tmp/raydump_<scene>.npz for scripts/probe_reorg.py.
 
-Usage: python scripts/dump_rays.py [scene] [chunk_pow2]
+Usage: python scripts/dump_rays.py [scene] [chunk_pow2] [offset|mid]
+
+The default offset "mid" takes the chunk centered in Morton order —
+the first chunk is the image's top-left corner, where most primary
+rays miss the whole scene and the batches are unrepresentative.
 """
 from __future__ import annotations
 
@@ -54,8 +58,13 @@ def main():
     st = StaticSettings.from_settings(settings)
     px, py, _ = _pixel_grid(ds.meta.width, ds.meta.height)
     n = min(chunk, px.shape[0])
+    off_arg = sys.argv[3] if len(sys.argv) > 3 else "mid"
+    off = (px.shape[0] - n) // 2 if off_arg == "mid" else int(off_arg)
+    off = max(0, min(off, px.shape[0] - n))
+    print(f"chunk [{off}:{off+n}] of {px.shape[0]} px")
     t0 = time.time()
-    r, nrays = trace_radiance(ds, cfg, st, px[:n], py[:n], 0)
+    r, nrays = trace_radiance(ds, cfg, st, px[off:off + n],
+                              py[off:off + n], 0)
     np.asarray(r)
     print(f"rendered {n} px, {int(nrays)} rays, {time.time()-t0:.1f}s, "
           f"{len(raydump.BATCHES)} batches")

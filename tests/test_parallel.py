@@ -140,3 +140,77 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_north_star_checkpoint_resume_tile_sharding(tmp_path):
+    """North-star composition (BASELINE config 5, scaled for CI):
+    cbbunny_transforms through render_accumulated_distributed with
+    checkpoint-resume on the 8-device mesh — bit-exact vs the
+    single-device checkpointed render."""
+    from pathlib import Path
+
+    from tpu_raytracing.integrator.accumulate import render_accumulated
+    from tpu_raytracing.parallel import render_accumulated_distributed
+    from tpu_raytracing.scene.loaders import scene_from_file
+    from tpu_raytracing.settings import RaytracerSettings
+
+    glb = Path("/root/reference/scenes/cbbunny_area_light_transforms.glb")
+    if not glb.exists():
+        pytest.skip("reference scenes not mounted")
+    scene = scene_from_file(glb)
+    # shrink the camera raster for CI; the scene/instancing stays intact
+    scene.camera = scene.camera.with_resolution(64, 48)
+    settings = RaytracerSettings(
+        samples_per_pixel=4, light_sample_count=1, max_ray_depth=3,
+    )
+    ds = compile_scene(scene)
+
+    ref = render_accumulated(ds, settings, spp_chunk=2)
+
+    # interrupted + resumed distributed render over the full 8-tile mesh
+    mesh = make_render_mesh(n_spp=1)
+    ck = tmp_path / "north_star.npz"
+    seen = []
+
+    def interrupt(img, spp_done):
+        seen.append(spp_done)
+        if spp_done >= 2:
+            raise KeyboardInterrupt  # simulate a mid-render failure
+
+    try:
+        render_accumulated_distributed(
+            ds, settings, mesh=mesh, spp_chunk=2, checkpoint_path=ck,
+            on_chunk=interrupt,
+        )
+    except KeyboardInterrupt:
+        pass
+    assert seen == [2] and ck.exists()
+
+    out = render_accumulated_distributed(
+        ds, settings, mesh=mesh, spp_chunk=2, checkpoint_path=ck,
+    )
+    assert out.beauty is not None
+    assert np.array_equal(out.beauty, ref.beauty), (
+        "checkpoint-resume x tile-sharding broke bit-exactness"
+    )
+    assert out.rays_traced == ref.rays_traced
+
+
+def test_accum_distributed_spp_sharding_close():
+    """(tiles, spp) = (4, 2): spp sharding changes only fp association."""
+    from tpu_raytracing.integrator.accumulate import render_accumulated
+    from tpu_raytracing.parallel import render_accumulated_distributed
+
+    ts = get_test_scene("checkered_plane")
+    scene = ts.scene_func()
+    settings = ts.settings_func()
+    settings.samples_per_pixel = 4
+    settings.light_sample_count = 1
+    settings.max_ray_depth = 2
+    ds = compile_scene(scene)
+
+    ref = render_accumulated(ds, settings, spp_chunk=4)
+    mesh = make_render_mesh(n_tiles=4, n_spp=2)
+    out = render_accumulated_distributed(ds, settings, mesh=mesh, spp_chunk=4)
+    np.testing.assert_allclose(out.beauty, ref.beauty, rtol=2e-5, atol=2e-5)
+    assert out.rays_traced == ref.rays_traced

@@ -348,11 +348,20 @@ def main(argv=None) -> int:
 
     def do_render():
         if getattr(args, "multichip", False):
-            from .parallel import render_distributed
-
-            out = render_distributed(
-                scene, settings, n_spp_shards=args.spp_shards
+            from .parallel import (
+                render_accumulated_distributed, render_distributed,
             )
+
+            if args.checkpoint is not None:
+                out = render_accumulated_distributed(
+                    scene, settings, n_spp_shards=args.spp_shards,
+                    spp_chunk=args.spp_chunk,
+                    checkpoint_path=args.checkpoint,
+                )
+            else:
+                out = render_distributed(
+                    scene, settings, n_spp_shards=args.spp_shards
+                )
             if settings.outputs & ~AovFlags.BEAUTY:
                 aov_only = render(
                     scene,

@@ -157,6 +157,193 @@ def render_distributed(
     return out
 
 
+def make_sharded_accum_step(
+    ds: DeviceScene,
+    cfg: SamplerConfig,
+    st: StaticSettings,
+    mesh: Mesh,
+    n_samples: int,
+):
+    """Sharded accumulation step: (s0, px, py, active) -> (sum, rays).
+
+    Accumulates samples [s0, s0 + n_samples) — the mesh-parallel analogue
+    of accumulate.py's chunk_fn. With a 1-wide spp axis the per-pixel fori
+    summation order is identical to the single-device path, so chunk
+    partials (and therefore checkpointed renders) are bit-exact across any
+    tile sharding.
+    """
+    n_spp_shards = mesh.shape[SPP_AXIS]
+    if n_samples % n_spp_shards != 0:
+        raise ValueError(
+            f"chunk samples {n_samples} not divisible by spp axis "
+            f"{n_spp_shards}"
+        )
+    per = n_samples // n_spp_shards
+
+    def shard_fn(s0, px, py, active):
+        spp_rank = jax.lax.axis_index(SPP_AXIS)
+
+        def body(i, carry):
+            acc, rays = carry
+            s = s0 + (spp_rank * per + i).astype(jnp.uint32)
+            r, n = trace_radiance(ds, cfg, st, px, py, s, active=active)
+            return acc + r, rays + n
+
+        total, rays = jax.lax.fori_loop(
+            0, per, body,
+            (jnp.zeros((px.shape[0], 3), jnp.float32),
+             jnp.zeros((), jnp.int32)),
+        )
+        total = jax.lax.psum(total, SPP_AXIS)
+        rays = jax.lax.psum(rays, (TILE_AXIS, SPP_AXIS))
+        return total, rays
+
+    mapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        out_specs=(P(TILE_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def render_accumulated_distributed(
+    scene_or_device,
+    settings: RaytracerSettings,
+    mesh: Optional[Mesh] = None,
+    n_spp_shards: int = 1,
+    spp_chunk: int = 32,
+    checkpoint_path=None,
+    on_chunk=None,
+) -> RenderOutput:
+    """The north-star composition (BASELINE config 5): a high-spp beauty
+    render accumulated in checkpointable spp chunks, each chunk sharded
+    over a (tiles, spp) device mesh.
+
+    Sample indices are absolute, so the rendered sample set is identical
+    to a one-shot or single-device render; with ``n_spp_shards == 1`` the
+    image is bit-exact vs ``integrator.accumulate.render_accumulated`` at
+    the same ``spp_chunk`` for ANY tile sharding (tests/test_parallel.py).
+    Resume works across different tile counts for the same reason.
+    """
+    import hashlib
+    import json
+    import logging
+    import time
+    from pathlib import Path
+
+    log = logging.getLogger("tpu_raytracing")
+    ds = (
+        scene_or_device
+        if isinstance(scene_or_device, DeviceScene)
+        else compile_scene(scene_or_device)
+    )
+    if mesh is None:
+        mesh = make_render_mesh(n_spp=n_spp_shards)
+    cfg = SamplerConfig.from_settings(settings.sampler, settings.seed)
+    st = StaticSettings.from_settings(settings)
+    width, height = ds.meta.width, ds.meta.height
+    total_spp = settings.samples_per_pixel
+    spp_chunk = min(spp_chunk, total_spp)
+
+    # distinct layout tag: the distributed accumulator is raster-ordered
+    # (render_distributed's padded grid), not morton-ordered
+    blob = json.dumps(
+        {
+            "spp": total_spp, "depth": settings.max_ray_depth,
+            "lights": settings.light_sample_count, "seed": settings.seed,
+            "sampler": repr(settings.sampler),
+            "accumulate": settings.accumulate_bounces,
+            "wh": [width, height], "tris": ds.meta.n_tris,
+            "layout": "raster-dist1",
+        },
+        sort_keys=True,
+    )
+    fingerprint = hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    xs = np.arange(width, dtype=np.uint32)
+    ys = np.arange(height, dtype=np.uint32)
+    gx, gy = np.meshgrid(xs, ys)
+    px, py = gx.reshape(-1), gy.reshape(-1)
+    n = px.shape[0]
+    n_tiles = mesh.shape[TILE_AXIS]
+    pad = (-n) % n_tiles
+    active = np.ones(n + pad, bool)
+    if pad:
+        px = np.concatenate([px, np.zeros(pad, px.dtype)])
+        py = np.concatenate([py, np.zeros(pad, py.dtype)])
+        active[n:] = False
+
+    accum = np.zeros((n, 3), np.float32)
+    rays_total = 0
+    spp_done = 0
+    if checkpoint_path is not None:
+        checkpoint_path = Path(checkpoint_path)
+        if checkpoint_path.exists():
+            ck = np.load(checkpoint_path, allow_pickle=False)
+            if (
+                str(ck["fingerprint"]) == fingerprint
+                and int(ck["spp_chunk"]) == spp_chunk
+            ):
+                accum = ck["accum"]
+                spp_done = int(ck["spp_done"])
+                rays_total = int(ck["rays"])
+                log.info(
+                    "resuming from checkpoint: %d/%d spp", spp_done,
+                    total_spp,
+                )
+            else:
+                log.warning(
+                    "checkpoint does not match settings; starting fresh"
+                )
+
+    sharding = NamedSharding(mesh, P(TILE_AXIS))
+    px_d = jax.device_put(jnp.asarray(px), sharding)
+    py_d = jax.device_put(jnp.asarray(py), sharding)
+    act_d = jax.device_put(jnp.asarray(active), sharding)
+
+    steps = {}
+    while spp_done < total_spp:
+        t0 = time.perf_counter()
+        this_chunk = min(spp_chunk, total_spp - spp_done)
+        if this_chunk not in steps:
+            steps[this_chunk] = make_sharded_accum_step(
+                ds, cfg, st, mesh, this_chunk
+            )
+        partial, rays = steps[this_chunk](
+            jnp.uint32(spp_done), px_d, py_d, act_d
+        )
+        accum = accum + np.asarray(partial)[:n]
+        rays_total += int(rays)
+        spp_done += this_chunk
+        log.info(
+            "accumulated %d/%d spp over %dx%d mesh (%.2fs)", spp_done,
+            total_spp, n_tiles, mesh.shape[SPP_AXIS],
+            time.perf_counter() - t0,
+        )
+        if checkpoint_path is not None:
+            tmp = checkpoint_path.with_suffix(".tmp.npz")
+            np.savez(
+                tmp, accum=accum, spp_done=spp_done, rays=rays_total,
+                fingerprint=fingerprint, spp_chunk=spp_chunk,
+            )
+            tmp.replace(checkpoint_path)
+        if on_chunk is not None:
+            on_chunk(
+                (accum / np.float32(spp_done)).reshape(height, width, 3),
+                spp_done,
+            )
+
+    out = RenderOutput(width=width, height=height)
+    if settings.outputs & AovFlags.BEAUTY:
+        out.beauty = (
+            (accum / np.float32(total_spp)).reshape(height, width, 3)
+        )
+    out.rays_traced = rays_total
+    return out
+
+
 def dryrun_step(mesh: Mesh, n_pixels: int = 256, spp: int = 8) -> np.ndarray:
     """Compile + execute one full sharded render step on tiny shapes.
 

@@ -117,6 +117,38 @@ class Camera:
     camera_to_world: Transform
     raster_to_camera: Transform
 
+    def with_resolution(self, width: int, height: int) -> "Camera":
+        """Same view, new raster size — rebuilds the raster transforms.
+
+        Used by the viewer's preview scaling and by tests that shrink
+        imported scenes (the reference fixes GLTF output height at 600,
+        scene.rs:247; this is the knob it lacks).
+        """
+        ct = self.camera_type
+        if isinstance(ct, Orthographic):
+            camera_to_raster = create_orthographic_transform(
+                self.far_clip, self.near_clip, width, height,
+                ct.screen_space_width, ct.screen_space_height,
+            )
+        else:  # pinhole / thin-lens share the perspective raster mapping
+            camera_to_raster = create_perspective_transform(
+                self.far_clip, self.near_clip, ct.yfov, width, height
+            )
+        return Camera(
+            camera_position=self.camera_position,
+            camera_rotation=self.camera_rotation,
+            camera_type=ct,
+            raster_width=width,
+            raster_height=height,
+            near_clip=self.near_clip,
+            far_clip=self.far_clip,
+            world_to_raster=self.camera_to_world.invert().compose(
+                camera_to_raster
+            ),
+            camera_to_world=self.camera_to_world,
+            raster_to_camera=camera_to_raster.invert(),
+        )
+
     @staticmethod
     def lookat_camera_perspective(
         camera_position, target, up, swap_handedness: bool,
