@@ -94,6 +94,16 @@ def test_modes_bit_identical(monkeypatch, scene_setup):
     np.testing.assert_array_equal(b, bs)
     assert bs_rays == ref_rays
 
+    # shadow own-sort (P1s): shadow batches re-sort by their own key
+    # inside occluded() instead of inheriting the bounce order — pure
+    # lane routing both ways, so the image AND ray count must be
+    # BIT-identical to the inherited-order leg
+    monkeypatch.setenv("TPU_RT_SHADOW_SORT", "1")
+    ss, ss_rays = _seq(ds, cfg, st, px, py)
+    monkeypatch.delenv("TPU_RT_SHADOW_SORT")
+    np.testing.assert_array_equal(b, ss)
+    assert ss_rays == ref_rays
+
     # NEE gate off (pre-round-4 shape: every NEE lane walks occluded()):
     # the gate only skips walks whose contribution is exactly zero
     # (cos==0 or pdf<=0 lanes), so the image must be BIT-identical;

@@ -103,6 +103,10 @@ class SceneMeta:
     # transposed BVH8 walk (bvh8t): stack bound + node width (8/16/32)
     t8_stack: int = 4
     t8_width: int = 8
+    # number of INTERNAL children of the bvh8t root — their slot boxes
+    # (t8_nodes rows 0..n-1, cols 0:6) double as the subtree-candidate
+    # table of the bounce-sort key (ops/traverse.py::ray_sort_key)
+    t8_root_ints: int = 0
     # tris per merged bvh8t leaf group (sublane rows per tri block)
     t8_leaf: int = 8
     # big-scene chunked accel: per-chunk (stack, root_min3, root_max3)
@@ -1458,6 +1462,8 @@ def compile_scene(scene: Scene) -> DeviceScene:
         root_meta4r=int(acc.root_meta4r),
         t8_stack=int(acc.t8_stack),
         t8_width=_t8_width(),
+        t8_root_ints=int(acc.t8_meta[0, 0])
+        & ((1 << _t8_fld(_t8_width())) - 1),
         t8_leaf=_t8_lg(),
         t8_chunk_meta=tuple(
             (int(stk), tuple(float(v) for v in mn), tuple(float(v) for v in mx))

@@ -129,6 +129,16 @@ def trace_radiance(
         _use_pallas(ds)
         and _os.environ.get("TPU_RT_BOUNCE_SORT", "1") == "1"
     )
+    # P1s (round 4): shadow batches re-sort by their OWN key inside
+    # occluded() instead of inheriting the bounce order — NEE ray
+    # directions point at the light, not along the continuation ray, so
+    # the inherited grouping is wrong for them. Offline replay measured
+    # 1.6x fewer node visits over the inherited order at the cost of one
+    # packed permutation each way per shadow call (probe_pipeline_key).
+    shadow_own_sort = (
+        sort_bounces
+        and _os.environ.get("TPU_RT_SHADOW_SORT", "0") == "1"
+    )
     # merged (B,19) i32 permutation gather + scalar-carry while cond
     # (A/B knob; default ON — docs/PERF_LOG.md round 4)
     join_perm = _os.environ.get("TPU_RT_JOIN_PERM", "1") == "1"
@@ -333,7 +343,7 @@ def trace_radiance(
                     jnp.full(B_, 1.0e-3, f32),
                     ls.distance - 1.0e-3,
                     active=shadow_act,
-                    presorted=sort_bounces,
+                    presorted=sort_bounces and not shadow_own_sort,
                 )
                 good = shadow_act & ~occ
                 f = bsdf_eval(params, wo, wi, kinds, active=good)
@@ -476,6 +486,11 @@ def trace_radiance_spp(
         _use_pallas(ds)
         and _os.environ.get("TPU_RT_BOUNCE_SORT", "1") == "1"
     )
+    # see render_batch: shadow batches optionally re-sort by their own key
+    shadow_own_sort = (
+        sort_bounces
+        and _os.environ.get("TPU_RT_SHADOW_SORT", "0") == "1"
+    )
 
     state = dict(
         sample_i=jnp.full(B_, spp_base, jnp.uint32),
@@ -597,7 +612,7 @@ def trace_radiance_spp(
                     jnp.full(B_, 1.0e-3, f32),
                     ls.distance - 1.0e-3,
                     active=shadow_act,
-                    presorted=sort_bounces,
+                    presorted=sort_bounces and not shadow_own_sort,
                 )
                 good = shadow_act & ~occ
                 f = bsdf_eval(params, wo, wi, kinds, active=good)

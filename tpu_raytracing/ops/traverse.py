@@ -507,6 +507,52 @@ def _interleave3(v):
     return v
 
 
+def _subtree_sort_key(ds: DeviceScene, origin, direction):
+    """Round-4 coherence key: (nearest entered top-level subtree,
+    quantized entry t). The candidates are the bvh8t root's internal
+    children (their boxes are t8_nodes rows 0..ni-1 — no extra buffer)
+    plus the instance world AABBs: rays grouped this way enter the SAME
+    top subtree, so a lockstep tile's node-set union collapses toward a
+    single ray's working set. Offline replay of honest dumped batches
+    (scripts/probe_reorg.py, docs/PERF_LOG.md round 4) measured 2.8x
+    fewer node visits and 1.6x fewer leaf iterations than the octant+
+    Morton key on cbbunny. Like every sort key here it only affects tile
+    grouping — results are bit-identical under any permutation."""
+    d_safe = jnp.where(jnp.abs(direction) < 1e-20, 1e-20, direction)
+    inv = 1.0 / d_safe
+    B = origin.shape[0]
+    inf = jnp.float32(jnp.inf)
+    t_first = jnp.full(B, inf, origin.dtype)
+    first = jnp.full(B, -1, jnp.int32)
+
+    def consider(bmin, bmax, idx, t_first, first):
+        lo = (bmin - origin) * inv
+        hi = (bmax - origin) * inv
+        t0 = jnp.max(jnp.minimum(lo, hi), axis=1)
+        t1 = jnp.min(jnp.maximum(lo, hi), axis=1)
+        tc = jnp.where((t0 <= t1) & (t1 >= 0.0), jnp.maximum(t0, 0.0), inf)
+        better = tc < t_first  # strict: ties keep the lowest index
+        return (jnp.where(better, tc, t_first),
+                jnp.where(better, idx, first))
+
+    idx = 0
+    for s in range(ds.meta.t8_root_ints):
+        box = ds.t8_nodes[s, 0:6]
+        t_first, first = consider(box[0:3], box[3:6], idx, t_first, first)
+        idx += 1
+    for i in range(min(len(ds.meta.instances), 40)):
+        t_first, first = consider(
+            ds.inst_aabb_min[i], ds.inst_aabb_max[i], idx, t_first, first
+        )
+        idx += 1
+    # 13-bit entry-t quantization over the scene diameter orders rays
+    # within a subtree front-to-back (key stays < 2^25: callers OR the
+    # dead-lane bit at 25)
+    r = jnp.maximum(ds.bounds_radius, 1e-6)
+    tq = jnp.clip(t_first / (2.0 * r) * 4096.0, 0.0, 8191.0)
+    return ((first + 1) << 13) | tq.astype(jnp.int32)
+
+
 def ray_sort_key(ds: DeviceScene, origin, direction):
     """Coherence key: rays sharing a key start near each other and point
     the same way, so lockstep tiles of sorted rays visit small node-set
@@ -514,12 +560,20 @@ def ray_sort_key(ds: DeviceScene, origin, direction):
     bit-identical under any permutation (sorted lane space unsorts
     exactly).
 
-    v1 (default): 3 direction-octant bits + 21-bit origin Morton.
-    v2 (TPU_RT_SORT_KEY=v2): octant + coarse origin Morton (4 bits/axis)
-    + 6 direction bits + fine origin Morton (3 bits/axis) — at 128Ki rays
-    the v1 keys are near-unique, so sub-octant direction never influences
-    the order; v2 trades fine position for direction locality.
+    subtree (default when the scene has a wide tree or instances):
+    (nearest top-level subtree candidate, entry t) — see
+    _subtree_sort_key. TPU_RT_SORT_KEY=v1|v2 restore the round-3 keys:
+    v1: 3 direction-octant bits + 21-bit origin Morton.
+    v2: octant + coarse origin Morton (4 bits/axis) + 6 direction bits
+    + fine origin Morton (3 bits/axis) — at 128Ki rays the v1 keys are
+    near-unique, so sub-octant direction never influences the order; v2
+    trades fine position for direction locality.
     """
+    kind = os.environ.get("TPU_RT_SORT_KEY", "subtree")
+    if kind == "subtree" and (
+        ds.meta.t8_root_ints > 0 or ds.meta.instances
+    ):
+        return _subtree_sort_key(ds, origin, direction)
     c = ds.bounds_center
     r = jnp.maximum(ds.bounds_radius, 1e-6)
     q = jnp.clip((origin - c) / (2.0 * r) + 0.5, 0.0, 1.0)
