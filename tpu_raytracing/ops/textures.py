@@ -178,29 +178,35 @@ def _sample_image(ds: DeviceScene, row, ints, ctx: EvalCtx, has_derivs=True):
     u = _apply_wrap(wrap, ctx.uv[:, 0])
     v = _apply_wrap(wrap, ctx.uv[:, 1])
 
-    bilinear = _bilerp(ds, mip0, u, v)
-    # no NEAREST-filtered image texture in the scene (static fact) ⇒ the
-    # point-sample tap (one gather/lane/bounce) compiles out entirely
-    if ds.meta.any_nearest:
-        nearest = _point_sample(ds, mip0, u, v)
-        out = jnp.where(
-            (filt == int(FilterMode.NEAREST))[:, None], nearest, bilinear
-        )
-    else:
-        out = bilinear
     # has_derivs=False (static) ⇒ ctx derivatives are all zero ⇒ the mip
     # footprint is invalid and trilinear falls back to bilinear anyway —
-    # skip the two extra mip taps (8 gathers/lane) entirely. Bit-exact.
+    # skip the two extra mip taps entirely. Bit-exact.
     if ds.meta.any_trilinear and has_derivs:
+        # 2 atlas gathers instead of 3 (atlas rows pay a fixed per-row
+        # DMA descriptor, so gather count IS the cost): non-trilinear /
+        # invalid-footprint lanes route both mip taps to the base level,
+        # where tap `a` IS the bilinear value (_bilerp is per-lane in
+        # its level argument) — the dedicated base-level gather the old
+        # shape did for every lane compiles out. Bit-exact: each lane
+        # computes the same _bilerp(level) it did before.
         level, valid = _mip_level_value(ds, mip0, ctx)
         max_level = (n_levels - 1).astype(jnp.float32)
         lower = jnp.floor(jnp.clip(level, 0.0, max_level)).astype(jnp.int32)
         upper = jnp.ceil(jnp.clip(level, 0.0, max_level)).astype(jnp.int32)
         t = (level - jnp.floor(level))[:, None]
-        a = _bilerp(ds, mip0 + lower, u, v)
-        b = _bilerp(ds, mip0 + upper, u, v)
-        tri = jnp.where(valid[:, None], (1.0 - t) * a + t * b, bilinear)
-        out = jnp.where((filt == int(FilterMode.TRILINEAR))[:, None], tri, out)
+        tri_lane = (filt == int(FilterMode.TRILINEAR)) & valid
+        a = _bilerp(ds, jnp.where(tri_lane, mip0 + lower, mip0), u, v)
+        b = _bilerp(ds, jnp.where(tri_lane, mip0 + upper, mip0), u, v)
+        out = jnp.where(tri_lane[:, None], (1.0 - t) * a + t * b, a)
+    else:
+        out = _bilerp(ds, mip0, u, v)
+    # no NEAREST-filtered image texture in the scene (static fact) ⇒ the
+    # point-sample tap (one gather/lane/bounce) compiles out entirely
+    if ds.meta.any_nearest:
+        nearest = _point_sample(ds, mip0, u, v)
+        out = jnp.where(
+            (filt == int(FilterMode.NEAREST))[:, None], nearest, out
+        )
     return out
 
 
