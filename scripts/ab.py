@@ -30,7 +30,10 @@ RESULT_RE = re.compile(
 
 def run_leg(knob: str, value: str, scene: str, reps: int) -> dict:
     env = dict(os.environ)
-    env[knob] = value
+    # comma-separated knob lists A/B several env vars at once
+    # (e.g. TPU_RT_T8_NWALK,TPU_RT_T8_R 1,4 4,1)
+    for k, v in zip(knob.split(","), value.split(",")):
+        env[k] = v
     env["SCENES"] = scene
     env["REPEATS"] = str(reps)
     p = subprocess.run(

@@ -98,6 +98,11 @@ class SceneMeta:
     # quad (BVH4) walk: root meta + stack bound
     root_meta4: int = -1
     bvh4_stack: int = 4
+    # per-callsite texture-kind narrowing (ops/textures.py): kinds
+    # reachable from each material slot / the env texture; () = fall
+    # back to tex_kinds_present
+    slot_kinds: Tuple[Tuple[int, ...], ...] = ()
+    env_kinds: Tuple[int, ...] = ()
     # rowrec (switch-free) walk: root meta in rowrec leaf numbering
     root_meta4r: int = -1
     # transposed BVH8 walk (bvh8t): stack bound + node width (8/16/32)
@@ -1314,11 +1319,59 @@ def compile_scene(scene: Scene) -> DeviceScene:
     ti[:, 6] = np.where(is_img, img_n_levels[img_id], 0)
     tex_pack[:, 8:16] = ti.view(F)
 
-    # material-major join of the texture slots' rows (see DeviceScene doc)
+    # material-major join of the texture slots' rows (see DeviceScene doc).
+    # Unset slots (-1) get a synthetic constant-zero row instead of row 0:
+    # their values are never semantically consumed (materials.rs only reads
+    # slots its kind defines; the roughness slot is guarded by tex>=0), and
+    # a constant row keeps them out of the per-slot kind sets below.
+    unset_row = np.zeros(16, F)
+    ur_i = np.zeros(8, np.int32)
+    ur_i[3] = TEX_CONSTANT
+    unset_row[8:16] = ur_i.view(F)
     mat_tex_rows = np.zeros((n_mats, 5 * 16), F)
     for j in range(5):
-        mat_tex_rows[:, 16 * j:16 * (j + 1)] = tex_pack[
-            np.maximum(mat_tex[:, j], 0)]
+        rows = tex_pack[np.maximum(mat_tex[:, j], 0)].copy()
+        rows[mat_tex[:, j] < 0] = unset_row
+        mat_tex_rows[:, 16 * j:16 * (j + 1)] = rows
+
+    # static per-callsite texture-kind narrowing: the set of texture kinds
+    # reachable from each material slot (through scale/mix children) and
+    # from the environment texture. eval_texture's per-kind branches are
+    # trace-time `if kind in kinds` — a slot whose textures are all
+    # constants skips the whole image path, and with it the quad-atlas
+    # gathers that dominate textured scenes (one 131k-row gather per
+    # bilerp tap; docs/PERF_LOG.md round 4).
+    def _reach_kinds(tid0: int) -> set:
+        out, stack, seen = set(), [int(tid0)], set()
+        while stack:
+            t = stack.pop()
+            if t < 0 or t >= n_tex or t in seen:
+                continue
+            seen.add(t)
+            k = int(tex_kind[t])
+            out.add(k)
+            if k in (TEX_SCALE, TEX_MIX):
+                stack.extend(int(r) for r in tex_ref[t] if r >= 0)
+        return out or {TEX_CONSTANT}
+
+    slot_kind_sets = []
+    for j in range(5):
+        ks = set()
+        for i in range(n_mats):
+            t = int(mat_tex[i, j])
+            if t < 0:
+                ks.add(TEX_CONSTANT)      # the synthetic unset row
+                if j == 0:
+                    # the AOV albedo path gathers tex_pack[max(tid, 0)]
+                    # directly, so unset slot-0 ids read row 0 there
+                    ks |= _reach_kinds(0)
+            else:
+                ks |= _reach_kinds(t)
+        slot_kind_sets.append(tuple(sorted(ks)))
+    if os.environ.get("TPU_RT_SLOT_KINDS", "1") == "0":
+        # escape hatch: None entries fall back to the scene-wide kind set
+        # at every call site (pre-narrowing executable shape)
+        slot_kind_sets = [None] * 5
 
     lvl_pack = np.zeros((img_level_offset.shape[0], 4), np.int32)
     lvl_pack[:, 0] = img_level_offset
@@ -1447,6 +1500,10 @@ def compile_scene(scene: Scene) -> DeviceScene:
         any_nearest=any_nearest,
         has_env=has_env,
         env_tex=env_tex,
+        slot_kinds=tuple(slot_kind_sets),
+        env_kinds=() if slot_kind_sets[0] is None      # knob escape hatch
+        else tuple(sorted(_reach_kinds(env_tex)))
+        if has_env else (int(TEX_CONSTANT),),
         cam_kind=cam_kind,
         width=cam.raster_width,
         height=cam.raster_height,

@@ -818,7 +818,9 @@ def _aov_tex_chunk(ds: DeviceScene, aovs: tuple, hit_mask, material,
     if "a" in aovs:
         # albedo: diffuse/coated sample their albedo texture, others are
         # white (materials.rs get_albedo)
-        sampled = eval_texture(ds, albedo_tex, ctx)[:, :3]
+        sk = ds.meta.slot_kinds
+        sampled = eval_texture(
+            ds, albedo_tex, ctx, kinds=sk[0] if sk else None)[:, :3]
         has_albedo = (kind == MAT_DIFFUSE) | (kind == MAT_COATED_DIFFUSE)
         albedo = jnp.where(has_albedo[:, None], sampled, 1.0)
         albedo = jnp.where(hit_mask[:, None], albedo, 0.0)

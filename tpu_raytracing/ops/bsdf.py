@@ -91,9 +91,12 @@ def get_bsdf_params(
     def slot(j):
         return rows[:, 16 * j:16 * (j + 1)]
 
-    t0 = eval_texture_from_row(ds, slot(0), ctx, has_derivs)  # albedo / eta
-    t1 = eval_texture_from_row(ds, slot(1), ctx, has_derivs)  # kappa / eta
-    t2 = eval_texture_from_row(ds, slot(2), ctx, has_derivs)  # roughness
+    # per-slot static kind sets: a slot whose textures are all constants
+    # skips the image/checker paths (and their atlas gathers) entirely
+    sk = ds.meta.slot_kinds or (ds.meta.tex_kinds_present,) * 5
+    t0 = eval_texture_from_row(ds, slot(0), ctx, has_derivs, sk[0])  # albedo/eta
+    t1 = eval_texture_from_row(ds, slot(1), ctx, has_derivs, sk[1])  # kappa/eta
+    t2 = eval_texture_from_row(ds, slot(2), ctx, has_derivs, sk[2])  # roughness
     has_rough_tex = tex[:, 2] >= 0
 
     is_layered = kind == MAT_COATED_DIFFUSE
@@ -120,9 +123,10 @@ def get_bsdf_params(
     ).astype(jnp.int32)
 
     if MAT_COATED_DIFFUSE in ds.meta.mat_kinds_present:
-        thickness = eval_texture_from_row(ds, slot(3), ctx, has_derivs)[:, 0]
+        thickness = eval_texture_from_row(
+            ds, slot(3), ctx, has_derivs, sk[3])[:, 0]
         coat_albedo = eval_texture_from_row(
-            ds, slot(4), ctx, has_derivs)[:, :3]
+            ds, slot(4), ctx, has_derivs, sk[4])[:, :3]
     else:
         thickness = jnp.zeros_like(alpha_x)
         coat_albedo = jnp.zeros_like(albedo)

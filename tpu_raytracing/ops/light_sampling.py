@@ -152,4 +152,5 @@ def environment_radiance(ds: DeviceScene, direction):
     uv = jnp.stack([s, t], axis=-1)
     ctx = EvalCtx.without_antialiasing(uv)
     tid = jnp.full(direction.shape[:-1], ds.meta.env_tex, jnp.int32)
-    return eval_texture(ds, tid, ctx, has_derivs=False)[..., :3]
+    kinds = ds.meta.env_kinds or None  # static: reach set of env_tex only
+    return eval_texture(ds, tid, ctx, has_derivs=False, kinds=kinds)[..., :3]

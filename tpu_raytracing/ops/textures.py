@@ -246,8 +246,10 @@ def _checker(row, ctx: EvalCtx, has_derivs=True):
     return jnp.where(point_sampled[:, None], plain, aa)
 
 
-def _leaf_from_row(ds: DeviceScene, row, ctx: EvalCtx, has_derivs=True):
-    kinds = ds.meta.tex_kinds_present
+def _leaf_from_row(ds: DeviceScene, row, ctx: EvalCtx, has_derivs=True,
+                   kinds=None):
+    if kinds is None:
+        kinds = ds.meta.tex_kinds_present
     ints = jax.lax.bitcast_convert_type(row[:, 8:16], jnp.int32)
     kind = ints[:, 3]
     out = row[:, 0:4]  # constant path covers CONSTANT (and default)
@@ -264,11 +266,13 @@ def _leaf_from_row(ds: DeviceScene, row, ctx: EvalCtx, has_derivs=True):
     return out
 
 
-def _eval_leaf(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True):
-    return _leaf_from_row(ds, ds.tex_pack[tid], ctx, has_derivs)
+def _eval_leaf(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True,
+               kinds=None):
+    return _leaf_from_row(ds, ds.tex_pack[tid], ctx, has_derivs, kinds)
 
 
-def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True):
+def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True,
+                 kinds=None):
     """Evaluate texture ids (B,) at ctx -> (B, 4).
 
     has_derivs is a STATIC flag: False promises every ctx derivative is
@@ -276,31 +280,46 @@ def eval_texture(ds: DeviceScene, tid, ctx: EvalCtx, has_derivs=True):
     mip taps and checker erf AA be skipped at trace time — both paths
     already degenerate to the bilinear/plain result when the footprint is
     zero, so the skip is bit-exact.
+
+    kinds is a STATIC iterable of the texture kinds reachable at this
+    call site (scene compile computes per-material-slot / env sets,
+    scene_buffers.py slot_kinds) — kinds absent from it skip their whole
+    sampling path at trace time. Bit-exact: a lane whose row kind is in
+    the set computes the identical value; rows outside the set can only
+    be unset-slot / masked-out lanes whose values are never consumed.
+    None = all kinds present in the scene.
     """
     tid = jnp.maximum(tid, 0)
     row = ds.tex_pack[tid]  # one wide gather
-    return eval_texture_from_row(ds, row, ctx, has_derivs)
+    return eval_texture_from_row(ds, row, ctx, has_derivs, kinds)
 
 
 def eval_texture_from_row(ds: DeviceScene, row, ctx: EvalCtx,
-                          has_derivs=True):
+                          has_derivs=True, kinds=None):
     """eval_texture on a pre-gathered (B, 16) tex_pack row — the bounce
     body gathers all of a material's slot rows in ONE join
     (ds.mat_tex_rows) instead of five separate table gathers."""
-    out = _leaf_from_row(ds, row, ctx, has_derivs)
-    kinds = ds.meta.tex_kinds_present
+    if kinds is None:
+        kinds = ds.meta.tex_kinds_present
+    out = _leaf_from_row(ds, row, ctx, has_derivs, kinds)
     if TEX_SCALE in kinds or TEX_MIX in kinds:
         ints = jax.lax.bitcast_convert_type(row[:, 8:16], jnp.int32)
         kind = ints[:, 3]
         # slot 0 holds a mip level for IMAGE rows — clamp into table range
-        # (the scale/mix selects mask those lanes out)
+        # (the scale/mix selects mask those lanes out). The child evals
+        # reuse this call site's kinds: the reach-closure includes every
+        # scale/mix child, and non-scale/mix lanes' garbage-id reads are
+        # masked out by the selects below.
         hi = ds.tex_pack.shape[0] - 1
-        a = _eval_leaf(ds, jnp.clip(ints[:, 0], 0, hi), ctx, has_derivs)
-        b = _eval_leaf(ds, jnp.clip(ints[:, 1], 0, hi), ctx, has_derivs)
+        a = _eval_leaf(ds, jnp.clip(ints[:, 0], 0, hi), ctx, has_derivs,
+                       kinds)
+        b = _eval_leaf(ds, jnp.clip(ints[:, 1], 0, hi), ctx, has_derivs,
+                       kinds)
         if TEX_SCALE in kinds:
             out = jnp.where((kind == TEX_SCALE)[:, None], a * b, out)
         if TEX_MIX in kinds:
-            c = _eval_leaf(ds, jnp.clip(ints[:, 2], 0, hi), ctx, has_derivs)
+            c = _eval_leaf(ds, jnp.clip(ints[:, 2], 0, hi), ctx,
+                           has_derivs, kinds)
             out = jnp.where(
                 (kind == TEX_MIX)[:, None], (1.0 - c) * a + c * b, out
             )
