@@ -126,3 +126,48 @@ Shape "sphere" "float radius" [0.5]
     basics = [p for p in sc.primitives if isinstance(p, BasicPrimitive)]
     lit = [p for p in basics if p.area_light is not None]
     assert len(lit) == 1
+
+
+@needs_scenes
+def test_gltf_camera_with_resolution_preserves_view():
+    """with_resolution on a GLTF camera must keep the same view.
+
+    The GLTF importer builds the raster transform with NEGATED clip
+    arguments (cameras look down -z, gltf.py _camera_from_node) and
+    composes world_to_raster from a world_to_camera without the flip_y
+    baked into camera_to_world; rebuilding from the positive
+    near/far_clip fields silently produced all-miss renders (round-4
+    regression fix). Pixel centers of the resized raster must map to
+    the same camera-space ray directions as the original raster.
+    """
+    sc = scene_from_file(SCENES / "cb.glb")
+    cam = sc.camera
+    cam2 = cam.with_resolution(cam.raster_width // 2, cam.raster_height // 2)
+
+    def center_dir(c, px, py):
+        # raster -> camera via the stored transform, normalized direction
+        p = np.array([px, py, 0.0, 1.0], np.float32)
+        m = np.asarray(c.raster_to_camera.forward)
+        q = m @ p
+        v = q[:3] / q[3]
+        return v / np.linalg.norm(v)
+
+    for fx, fy in [(0.5, 0.5), (0.25, 0.75), (0.9, 0.1)]:
+        d1 = center_dir(cam, fx * cam.raster_width, fy * cam.raster_height)
+        d2 = center_dir(cam2, fx * cam2.raster_width, fy * cam2.raster_height)
+        np.testing.assert_allclose(d1, d2, atol=1e-5)
+
+    # and the full world_to_raster round trip agrees: a world point on the
+    # original center ray lands at the scaled raster coordinate
+    m1 = np.asarray(cam.world_to_raster.forward)
+    m2 = np.asarray(cam2.world_to_raster.forward)
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        w = np.append(rng.normal(size=3).astype(np.float32), 1.0)
+        a = m1 @ w
+        b = m2 @ w
+        if abs(a[3]) < 1e-6:
+            continue
+        pa = a[:2] / a[3]
+        pb = b[:2] / b[3]
+        np.testing.assert_allclose(pb, pa / 2.0, rtol=1e-4, atol=1e-3)

@@ -117,6 +117,17 @@ class Camera:
     camera_to_world: Transform
     raster_to_camera: Transform
 
+    # raster-transform build recipe, kept so with_resolution can rebuild
+    # the exact ctor convention. The GLTF importer passes NEGATED clips
+    # (cameras look down -z there, gltf.py:330-342) and a flipped ortho
+    # ssh, and composes world_to_raster from a world_to_camera WITHOUT
+    # the flip_y baked into camera_to_world — rebuilding from the
+    # positive near/far fields (the pre-round-4 shape) produced all-miss
+    # renders for resized GLTF cameras. None = lookat-ctor convention.
+    r2c_clips: tuple | None = None       # (far_arg, near_arg)
+    r2c_ssh_sign: float = 1.0            # ortho screen_space_height sign
+    world_to_camera: Transform | None = None
+
     def with_resolution(self, width: int, height: int) -> "Camera":
         """Same view, new raster size — rebuilds the raster transforms.
 
@@ -125,15 +136,18 @@ class Camera:
         scene.rs:247; this is the knob it lacks).
         """
         ct = self.camera_type
+        far_arg, near_arg = self.r2c_clips or (self.far_clip, self.near_clip)
         if isinstance(ct, Orthographic):
             camera_to_raster = create_orthographic_transform(
-                self.far_clip, self.near_clip, width, height,
-                ct.screen_space_width, ct.screen_space_height,
+                far_arg, near_arg, width, height,
+                ct.screen_space_width,
+                ct.screen_space_height * self.r2c_ssh_sign,
             )
         else:  # pinhole / thin-lens share the perspective raster mapping
             camera_to_raster = create_perspective_transform(
-                self.far_clip, self.near_clip, ct.yfov, width, height
+                far_arg, near_arg, ct.yfov, width, height
             )
+        w2c = self.world_to_camera or self.camera_to_world.invert()
         return Camera(
             camera_position=self.camera_position,
             camera_rotation=self.camera_rotation,
@@ -142,11 +156,12 @@ class Camera:
             raster_height=height,
             near_clip=self.near_clip,
             far_clip=self.far_clip,
-            world_to_raster=self.camera_to_world.invert().compose(
-                camera_to_raster
-            ),
+            world_to_raster=w2c.compose(camera_to_raster),
             camera_to_world=self.camera_to_world,
             raster_to_camera=camera_to_raster.invert(),
+            r2c_clips=self.r2c_clips,
+            r2c_ssh_sign=self.r2c_ssh_sign,
+            world_to_camera=self.world_to_camera,
         )
 
     @staticmethod

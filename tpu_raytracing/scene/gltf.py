@@ -328,16 +328,20 @@ def _camera_from_node(node: dict, cam: dict, height: int) -> Camera:
         p = cam["perspective"]
         aspect = p.get("aspectRatio", 1.0)
         width = int(height * aspect)
+        r2c_clips = (-p.get("zfar", 1000.0), -p["znear"])
+        ssh_sign = 1.0
         camera_to_raster = create_perspective_transform(
-            -p.get("zfar", 1000.0), -p["znear"], p["yfov"], width, height
+            r2c_clips[0], r2c_clips[1], p["yfov"], width, height
         )
         camera_type = PinholePerspective(yfov=p["yfov"])
     else:
         o = cam["orthographic"]
         ssw, ssh = o["xmag"], o["ymag"]
         width = int(height * ssw / ssh)
+        r2c_clips = (-o["zfar"], -o["znear"])
+        ssh_sign = -1.0
         camera_to_raster = create_orthographic_transform(
-            -o["zfar"], -o["znear"], width, height, ssw, -ssh
+            r2c_clips[0], r2c_clips[1], width, height, ssw, -ssh
         )
         camera_type = Orthographic(ssw, ssh)
 
@@ -353,6 +357,9 @@ def _camera_from_node(node: dict, cam: dict, height: int) -> Camera:
         world_to_raster=world_to_raster,
         camera_to_world=camera_to_world,
         raster_to_camera=camera_to_raster.invert(),
+        r2c_clips=r2c_clips,
+        r2c_ssh_sign=ssh_sign,
+        world_to_camera=world_to_camera,
     )
 
 
