@@ -223,7 +223,8 @@ def main():
             for _ in range(6)]
     tmn = jnp.full((R, LANE), 1e-3, jnp.float32)
     act = jnp.ones((R, LANE), jnp.float32)
-    for variant in ["floor", "cur", "hoist", "row0", "mxu"]:
+    sel = os.environ.get("PROBE_VARIANTS", "floor,cur,hoist,row0,mxu")
+    for variant in sel.split(","):
         try:
             f = jax.jit(make(variant))
             np.asarray(f(nodes, *args, tmn, act))

@@ -51,9 +51,17 @@ from ..device.scene_buffers import LIGHT_AREA, LIGHT_DIRECTION, LIGHT_POINT, MAT
 log = logging.getLogger("tpu_raytracing")
 
 def _default_chunk() -> int:
-    """Pixels per device dispatch: large batches feed the TPU; the CPU
-    backend degrades badly on very wide dispatches, so keep them modest.
-    TPU_RT_CHUNK overrides (perf tuning)."""
+    """Pixels per device dispatch. TPU_RT_CHUNK overrides (perf tuning).
+
+    TPU default from the round-4 interleaved sweep on cbbunny 8spp
+    (docs/PERF_LOG.md): 1<<16 beats 1<<17 by +9% REAL and 1<<15 /
+    1<<18 by +16-17% — at 65536 lanes the bounce loop's packed carries
+    ((B,14)+(B,19) ~5 MB) sit comfortably in VMEM so the per-bounce
+    fusions stop round-tripping HBM, while dispatch gaps per chunk do
+    not yet dominate. The CPU backend degrades badly on very wide
+    dispatches, so it keeps a modest width. Images are bit-identical
+    across chunk sizes (counter RNG keyed by pixel/sample;
+    tests/test_integrator.py chunk invariance)."""
     import os as _os
 
     env = _os.environ.get("TPU_RT_CHUNK")
@@ -63,7 +71,7 @@ def _default_chunk() -> int:
         platform = jax.default_backend()
     except Exception:
         platform = "cpu"
-    return 1 << 17 if platform == "tpu" else 1 << 13
+    return 1 << 16 if platform == "tpu" else 1 << 13
 
 
 
