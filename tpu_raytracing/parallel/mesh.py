@@ -77,13 +77,20 @@ def make_sharded_step(
     spp_per = st.samples_per_pixel // n_spp_shards
     inv_spp = np.float32(1.0 / st.samples_per_pixel)
 
-    def shard_fn(px, py, active):
+    # The scene is a runtime ARGUMENT (replicated over the mesh), never a
+    # closure: closed-over arrays become XLA constants, which the compiler
+    # folds/fuses differently from runtime buffers — a measured ~1-ULP
+    # per-pixel divergence vs the single-device drivers (which pass ds as a
+    # traced jit argument, render.py:759). scripts/probe_dsarg_exact.py is
+    # the repro; keeping every driver on the argument convention is what
+    # makes "bit-identical for any tile sharding" hold.
+    def shard_fn(ds_, px, py, active):
         spp_rank = jax.lax.axis_index(SPP_AXIS)
 
         def body(i, carry):
             acc, rays = carry
             s = (spp_rank * spp_per + i).astype(jnp.uint32)
-            r, n = trace_radiance(ds, cfg, st, px, py, s, active=active)
+            r, n = trace_radiance(ds_, cfg, st, px, py, s, active=active)
             return acc + r, rays + n
 
         total, rays = jax.lax.fori_loop(
@@ -97,11 +104,13 @@ def make_sharded_step(
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        in_specs=(P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
         out_specs=(P(TILE_AXIS), P()),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+    ds_repl = jax.device_put(ds, NamedSharding(mesh, P()))
+    return lambda px, py, active: jitted(ds_repl, px, py, active)
 
 
 def render_distributed(
@@ -180,13 +189,14 @@ def make_sharded_accum_step(
         )
     per = n_samples // n_spp_shards
 
-    def shard_fn(s0, px, py, active):
+    # ds is a runtime argument, not a closure — see make_sharded_step.
+    def shard_fn(ds_, s0, px, py, active):
         spp_rank = jax.lax.axis_index(SPP_AXIS)
 
         def body(i, carry):
             acc, rays = carry
             s = s0 + (spp_rank * per + i).astype(jnp.uint32)
-            r, n = trace_radiance(ds, cfg, st, px, py, s, active=active)
+            r, n = trace_radiance(ds_, cfg, st, px, py, s, active=active)
             return acc + r, rays + n
 
         total, rays = jax.lax.fori_loop(
@@ -201,11 +211,13 @@ def make_sharded_accum_step(
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
         out_specs=(P(TILE_AXIS), P()),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+    ds_repl = jax.device_put(ds, NamedSharding(mesh, P()))
+    return lambda s0, px, py, active: jitted(ds_repl, s0, px, py, active)
 
 
 def render_accumulated_distributed(
