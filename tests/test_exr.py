@@ -39,3 +39,105 @@ def test_uint_channel(tmp_path):
     read, _, _ = exr.read_exr(path)
     assert read["ID"].dtype == np.uint32
     assert np.array_equal(read["ID"], data["ID"])
+
+
+def test_roundtrip_rle(tmp_path):
+    _roundtrip(tmp_path, exr.COMP_RLE)
+
+
+def test_rle_runs(tmp_path):
+    """Data with long byte runs exercises both RLE branch types."""
+    h, w = 33, 64
+    a = np.zeros((h, w), np.float32)
+    a[10:20, 5:40] = 3.5
+    a[0] = np.arange(w)
+    path = tmp_path / "runs.exr"
+    exr.write_exr(path, {"Y": a}, compression=exr.COMP_RLE)
+    read, _, _ = exr.read_exr(path)
+    assert np.array_equal(read["Y"], a)
+
+
+def _b44_roundtrip(tmp_path, compression):
+    """B44 is lossy (6-bit block deltas): gate on relative error, and
+    exactly on flat blocks (where the codec is exact by construction)."""
+    h, w = 37, 53  # non-multiple-of-4 edges exercise block padding
+    rng = np.random.default_rng(7)
+    smooth = np.cumsum(
+        rng.standard_normal((h, w)).astype(np.float32), axis=1) * 0.01 + 2.0
+    flat = np.full((h, w), 0.25, np.float32)
+    neg = -np.abs(smooth)
+    channels = {"A": smooth, "B": flat, "C": neg}
+    path = tmp_path / f"b44_{compression}.exr"
+    exr.write_exr(path, channels, compression=compression, half=True)
+    read, width, height = exr.read_exr(path)
+    assert (width, height) == (w, h)
+    half = {k: v.astype(np.float16).astype(np.float32)
+            for k, v in channels.items()}
+    assert np.array_equal(read["B"], half["B"])  # flat: exact
+    for k in ("A", "C"):
+        err = np.abs(read[k] - half[k])
+        scale = np.maximum(np.abs(half[k]), 1e-3)
+        assert (err / scale).max() < 0.05, k
+
+
+def test_roundtrip_b44(tmp_path):
+    _b44_roundtrip(tmp_path, exr.COMP_B44)
+
+
+def test_roundtrip_b44a(tmp_path):
+    _b44_roundtrip(tmp_path, exr.COMP_B44A)
+
+
+def test_b44_mixed_float_channel(tmp_path):
+    """FLOAT channels ride raw inside B44 blocks and stay lossless."""
+    h, w = 9, 17
+    rng = np.random.default_rng(3)
+    fl = rng.standard_normal((h, w)).astype(np.float32)
+    ids = np.arange(h * w, dtype=np.uint32).reshape(h, w)
+    path = tmp_path / "mixed.exr"
+    # half=False: no HALF channels -> writer stores raw scanlines
+    exr.write_exr(path, {"F": fl, "ID": ids}, compression=exr.COMP_B44)
+    read, _, _ = exr.read_exr(path)
+    assert np.array_equal(read["F"], fl)
+    assert np.array_equal(read["ID"], ids)
+
+
+def test_b44_block_codec_exact_inverse():
+    """pack14 -> unpack14 reconstructs within 2^shift of each value and
+    bit-exactly when deltas fit unshifted."""
+    rng = np.random.default_rng(11)
+    # small deltas around a base: encodable at shift 0 -> bit-exact
+    base = np.float16(1.0).view(np.uint16).astype(np.int32)
+    vals = (base + rng.integers(-15, 16, (5, 16))).astype(np.uint16)
+    t = exr._b44_transform(vals)
+    packed = exr._b44_pack_blocks(t, flat_3byte=False)
+    b = np.frombuffer(b"".join(packed), np.uint8).reshape(-1, 14)
+    dec = exr._b44_unpack14(b)
+    assert np.array_equal(dec, vals)
+
+
+def test_b44_infnan_collapse():
+    """inf/NaN halves collapse to +0 (OpenEXR B44 semantics)."""
+    vals = np.array(
+        [[np.inf, -np.inf, np.nan, 1.0] * 4], np.float16).view(np.uint16)
+    t = exr._b44_transform(vals)
+    packed = exr._b44_pack_blocks(t, flat_3byte=False)
+    b = np.frombuffer(packed[0], np.uint8).reshape(1, 14)
+    dec = exr._b44_unpack14(b).view(np.float16)
+    assert dec[0, 0] == 0.0 and dec[0, 1] == 0.0 and dec[0, 2] == 0.0
+    assert dec[0, 3] == np.float16(1.0)
+
+
+def test_unsupported_compression_message(tmp_path):
+    """DWAA files produce one actionable error naming the codec."""
+    import pytest
+
+    path = tmp_path / "dwa.exr"
+    exr.write_exr(path, {"Y": np.zeros((4, 4), np.float32)})
+    raw = bytearray(path.read_bytes())
+    # patch the compression attribute byte (value follows the
+    # 'compression\0compression\0<size>' attribute header)
+    idx = raw.index(b"compression\x00compression\x00")
+    raw[idx + len(b"compression\x00compression\x00") + 4] = exr.COMP_DWAA
+    with pytest.raises(ValueError, match="DWAA.*re-encode"):
+        exr.read_exr_bytes(bytes(raw))
