@@ -32,6 +32,10 @@ sys.path.insert(0, str(REPO))
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from probe_reorg import (
