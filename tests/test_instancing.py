@@ -160,9 +160,9 @@ def test_pallas_parity_on_instances(pair, monkeypatch):
     d = jnp.asarray(d)
     tmin = jnp.full(B, 1e-3)
     tmax = jnp.full(B, np.inf)
-    monkeypatch.setattr(T, "_PALLAS_MODE", "0")
+    monkeypatch.setenv("TPU_RT_PALLAS", "0")
     t_s, p_s = intersect_scene(ds_i, o, d, tmin, tmax)
-    monkeypatch.setattr(T, "_PALLAS_MODE", "1")
+    monkeypatch.setenv("TPU_RT_PALLAS", "1")
     t_p, p_p = intersect_scene(ds_i, o, d, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_p))
     both = np.asarray(p_s) >= 0

@@ -33,18 +33,25 @@ INF = jnp.inf
 import os as _os
 
 _USE_STACK = _os.environ.get("TPU_RT_TRAVERSAL", "stack") == "stack"
-_PALLAS_MODE = _os.environ.get("TPU_RT_PALLAS", "auto")  # auto | 1 | 0
 
 
 def _use_pallas(ds) -> bool:
-    """Lockstep Pallas traversal: default on TPU when tables fit VMEM."""
-    if _PALLAS_MODE == "0":
+    """Lockstep Pallas traversal: default on TPU when tables fit VMEM.
+
+    TPU_RT_PALLAS (auto | 1 | 0) is read PER CALL, not at import: the
+    trace-mode bit-identity tests monkeypatch it after module import, and
+    an import-frozen value silently routed every "pallas" leg of that
+    matrix through the XLA walk (vacuous XLA-vs-XLA comparisons — round-5
+    finding, same failure shape as the round-4 vacuous north-star test).
+    """
+    mode = _os.environ.get("TPU_RT_PALLAS", "auto")
+    if mode == "0":
         return False
     from .traverse_pallas import supports
 
     if not supports(ds):
         return False
-    if _PALLAS_MODE == "1":
+    if mode == "1":
         return True
     return jax.default_backend() == "tpu"
 
