@@ -153,3 +153,29 @@ def test_regen_sort_respects_active_mask(monkeypatch, scene_setup):
     # inactive (padding) lanes contribute nothing and count no rays
     np.testing.assert_array_equal(r1[~act], 0.0)
     assert int(r1_rays) == ref_rays
+
+
+def test_ladder_bit_identical(monkeypatch, scene_setup):
+    """Alive-prefix ladder (TPU_RT_LADDER): running the post-bounce-1
+    while_loop on the sorted B/2 alive prefix must be bit-identical to
+    the full-width loop — per-lane results are batch-width-invariant and
+    the dead tail is inert. Uses a 2048-lane batch (the ladder's minimum
+    width) with enough depth for the loop to run laddered bounces."""
+    ds, cfg, st = scene_setup
+    st = st._replace(max_ray_depth=4)
+    rng = np.random.default_rng(5)
+    px = jnp.asarray(
+        rng.integers(0, ds.meta.width, 2048).astype(np.uint32))
+    py = jnp.asarray(
+        rng.integers(0, ds.meta.height, 2048).astype(np.uint32))
+
+    monkeypatch.setenv("TPU_RT_PALLAS", "1")
+    monkeypatch.setenv("TPU_RT_BOUNCE_SORT", "1")
+    monkeypatch.setenv("TPU_RT_LADDER", "0")
+    off, off_rays = trace_radiance(ds, cfg, st, px, py, 0)
+    off = np.asarray(off)
+
+    monkeypatch.setenv("TPU_RT_LADDER", "1")
+    on, on_rays = trace_radiance(ds, cfg, st, px, py, 0)
+    np.testing.assert_array_equal(off, np.asarray(on))
+    assert int(on_rays) == int(off_rays)

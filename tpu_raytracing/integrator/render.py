@@ -247,6 +247,9 @@ def trace_radiance(
             specular = s["specular"]
             stream = s["stream"]
             src = s["src"]
+        # batch width from the STATE, not the closure: the alive-prefix
+        # ladder re-enters this body with a sliced (B/2) state
+        Bb = ray_o.shape[0]
 
         rays = s["rays"] + jnp.sum(alive.astype(jnp.int32))
 
@@ -264,8 +267,8 @@ def trace_radiance(
             t_max = jnp.asarray(jnp.inf, f32)
         t, prim = intersect_scene(
             ds, ray_o, ray_d,
-            jnp.broadcast_to(t_min, (B_,)),
-            jnp.broadcast_to(t_max, (B_,)),
+            jnp.broadcast_to(t_min, (Bb,)),
+            jnp.broadcast_to(t_max, (Bb,)),
             active=alive,
             presorted=sort_bounces,
         )
@@ -318,10 +321,10 @@ def trace_radiance(
         add_direct = st.accumulate_bounces | (depth == st.max_ray_depth)
         nee_mask = alive & ~delta & add_direct
 
-        direct = jnp.zeros((B_, 3), f32)
+        direct = jnp.zeros((Bb, 3), f32)
         for li, lk in enumerate(ds.meta.light_kinds):
             n_s = 1 if lk in (LIGHT_POINT, LIGHT_DIRECTION) else st.light_sample_count
-            contrib = jnp.zeros((B_, 3), f32)
+            contrib = jnp.zeros((Bb, 3), f32)
             for _ in range(n_s):
                 ls, stream = sample_light(ds, li, hit.point, cfg, stream)
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
@@ -348,7 +351,7 @@ def trace_radiance(
                 rays = rays + jnp.sum(shadow_act.astype(jnp.int32))
                 occ = occluded(
                     ds, ls.origin, ls.direction,
-                    jnp.full(B_, 1.0e-3, f32),
+                    jnp.full(Bb, 1.0e-3, f32),
                     ls.distance - 1.0e-3,
                     active=shadow_act,
                     presorted=sort_bounces and not shadow_own_sort,
@@ -363,7 +366,7 @@ def trace_radiance(
 
         # continuation via BSDF importance sampling
         samp, stream = bsdf_sample(
-            params, wo, jnp.full(B_, B.ALL_COMPONENTS, jnp.int32),
+            params, wo, jnp.full(Bb, B.ALL_COMPONENTS, jnp.int32),
             cfg, stream, kinds, active=alive,
         )
         ok = (
@@ -393,7 +396,7 @@ def trace_radiance(
             # while_loop body (static_primary=False) never touches diff.
             key = ray_sort_key(ds, ray_o, ray_d)
             key = key | ((~alive).astype(jnp.int32) << 25)
-            iota = jnp.arange(B_, dtype=jnp.int32)
+            iota = jnp.arange(Bb, dtype=jnp.int32)
             _, order = jax.lax.sort_key_val(key, iota, is_stable=True)
             pk, pk_i = _pack(
                 ray_o, ray_d, radiance, pw, alive, specular, stream, src
@@ -435,9 +438,74 @@ def trace_radiance(
     # trilinear/checker-AA texture paths compile only into this one call;
     # the loop body below is statically secondary (plain uv contexts)
     state = body(state, static_primary=True)
-    out = jax.lax.while_loop(
-        cond, lambda s: body(s, static_primary=False), state
+
+    def loop_body(s):
+        return body(s, static_primary=False)
+
+    # Alive-prefix ladder (TPU_RT_LADDER, sorted path only): after the
+    # peeled bounce 1 the alive fraction is <= 45% on every perf scene
+    # (scripts/probe_alive.py), but the while body's NON-kernel work
+    # (shading fusions, NEE/BSDF math, the (B,19) sort gather) runs at
+    # full B every bounce. The sort puts dead lanes last, so when
+    # n_alive <= B/2 the remaining bounces run on the static B/2 prefix
+    # and the dead tail is re-attached afterwards; lax.cond keeps the
+    # full-width loop for the rare n_alive > B/2 case.
+    #
+    # Exactness structure: bounce 1 is peeled whenever the LADDER COULD
+    # run (peel2), independent of the knob — a peeled body fuses in the
+    # enclosing graph while a loop iteration fuses inside the while
+    # body, and that context difference alone moves FMA contraction by
+    # ~1 ULP (measured on metal, round 5). With the peel held fixed,
+    # knob on/off differ only in loop WIDTH, and per-lane results are
+    # width-invariant (the same property chunk-size invariance already
+    # relies on; locked by the trace-mode ladder leg). Peeling bounce 1
+    # outside the while is output-identical even when everything is
+    # already dead: a dead-state body only re-sorts dead lanes, which
+    # the final src-unsort undoes.
+    peel2 = (
+        sort_bounces
+        and join_perm
+        and st.max_ray_depth >= 3
+        and B_ >= 2048
+        and B_ % 2048 == 0
     )
+    ladder = peel2 and _os.environ.get("TPU_RT_LADDER", "1") == "1"
+    if peel2:
+        state = body(state, static_primary=False)  # bounce 1 at full B
+    if ladder:
+        H = B_ // 2
+
+        def _run_half(s):
+            sub = dict(
+                depth=s["depth"],
+                pk=jax.lax.slice(s["pk"], (0, 0), (H, 14)),
+                pk_i=jax.lax.slice(s["pk_i"], (0, 0), (H, 5)),
+                rays=s["rays"],
+                n_alive=s["n_alive"],
+            )
+            o = jax.lax.while_loop(cond, loop_body, sub)
+            return dict(
+                depth=o["depth"],
+                pk=jnp.concatenate(
+                    [o["pk"], jax.lax.slice(s["pk"], (H, 0), (B_, 14))],
+                    axis=0,
+                ),
+                pk_i=jnp.concatenate(
+                    [o["pk_i"], jax.lax.slice(s["pk_i"], (H, 0), (B_, 5))],
+                    axis=0,
+                ),
+                rays=o["rays"],
+                n_alive=o["n_alive"],
+            )
+
+        def _run_full(s):
+            return jax.lax.while_loop(cond, loop_body, s)
+
+        out = jax.lax.cond(
+            state["n_alive"] <= H, _run_half, _run_full, state
+        )
+    else:
+        out = jax.lax.while_loop(cond, loop_body, state)
     if sort_bounces:
         iota = jnp.arange(B_, dtype=jnp.int32)
         _, inv = jax.lax.sort_key_val(out["pk_i"][:, 4], iota, is_stable=True)
