@@ -53,12 +53,14 @@ log = logging.getLogger("tpu_raytracing")
 def _default_chunk() -> int:
     """Pixels per device dispatch. TPU_RT_CHUNK overrides (perf tuning).
 
-    TPU default from the round-4 interleaved sweep on cbbunny 8spp
-    (docs/PERF_LOG.md): 1<<16 beats 1<<17 by +9% REAL and 1<<15 /
-    1<<18 by +16-17% — at 65536 lanes the bounce loop's packed carries
-    ((B,14)+(B,19) ~5 MB) sit comfortably in VMEM so the per-bounce
-    fusions stop round-tripping HBM, while dispatch gaps per chunk do
-    not yet dominate. The CPU backend degrades badly on very wide
+    TPU default 1<<17 from the round-5 interleaved A/B on cbbunny 8spp
+    (docs/PERF_LOG.md round 5): with the alive-prefix ladder on
+    (TPU_RT_LADDER, default), 131072 beats 65536 by +4.0% REAL — the
+    ladder halves the post-bounce-1 carry width, so the deep bounces of
+    a 128k chunk run at the VMEM-sweet 65536 lanes with DOUBLE the
+    sort-coherence pool. (Round 4, pre-ladder, measured 1<<16 beating
+    1<<17 by +9%: the full-width 128k carries spilled VMEM. The ladder
+    flipped that sign.) The CPU backend degrades badly on very wide
     dispatches, so it keeps a modest width. Images are bit-identical
     across chunk sizes (counter RNG keyed by pixel/sample;
     tests/test_integrator.py chunk invariance)."""
@@ -71,7 +73,7 @@ def _default_chunk() -> int:
         platform = jax.default_backend()
     except Exception:
         platform = "cpu"
-    return 1 << 16 if platform == "tpu" else 1 << 13
+    return 1 << 17 if platform == "tpu" else 1 << 13
 
 
 
