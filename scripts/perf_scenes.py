@@ -77,7 +77,10 @@ def main():
             continue
         scene = scene_from_file(path)
         settings = RaytracerSettings(
-            samples_per_pixel=spp, light_sample_count=1, max_ray_depth=8,
+            samples_per_pixel=spp,
+            light_sample_count=int(os.environ.get("BENCH_LIGHT_SAMPLES",
+                                                  "1")),
+            max_ray_depth=8,
             outputs=AovFlags.BEAUTY,
         )
         ds = compile_scene(scene)

@@ -155,6 +155,30 @@ def test_regen_sort_respects_active_mask(monkeypatch, scene_setup):
     assert int(r1_rays) == ref_rays
 
 
+def test_nee_stack_bit_identical(monkeypatch, scene_setup):
+    """NEE shadow-walk stacking (TPU_RT_NEE_STACK): the n_s area-light
+    shadow walks per bounce run as ONE occluded() call over a lane-major
+    interleaved (n_s*B) batch. Stacking only regroups lockstep tiles —
+    per-lane walk results are tile-grouping-invariant (the chunk-size
+    invariance property) — so image AND ray count must be BIT-identical
+    to the sequential per-sample calls."""
+    ds, cfg, st = scene_setup
+    st = st._replace(light_sample_count=3, max_ray_depth=3)
+    px, py = _pixels()
+
+    monkeypatch.setenv("TPU_RT_PALLAS", "1")
+    monkeypatch.setenv("TPU_RT_BOUNCE_SORT", "1")
+    monkeypatch.setenv("TPU_RT_NEE_STACK", "0")
+    off, off_rays = trace_radiance(ds, cfg, st, px, py, 0)
+    off = np.asarray(off)
+    assert np.isfinite(off).all() and off.max() > 0
+
+    monkeypatch.setenv("TPU_RT_NEE_STACK", "1")
+    on, on_rays = trace_radiance(ds, cfg, st, px, py, 0)
+    np.testing.assert_array_equal(off, np.asarray(on))
+    assert int(on_rays) == int(off_rays)
+
+
 def test_ladder_bit_identical(monkeypatch, scene_setup):
     """Alive-prefix ladder (TPU_RT_LADDER): running the post-bounce-1
     while_loop on the sorted B/2 alive prefix must be bit-identical to

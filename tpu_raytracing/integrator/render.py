@@ -327,6 +327,24 @@ def trace_radiance(
         for li, lk in enumerate(ds.meta.light_kinds):
             n_s = 1 if lk in (LIGHT_POINT, LIGHT_DIRECTION) else st.light_sample_count
             contrib = jnp.zeros((Bb, 3), f32)
+            # NEE stacking (round 5): the n_s shadow walks of an area
+            # light run as ONE occluded() call over a lane-major
+            # interleaved (n_s*B) batch [lane0 s0..s3, lane1 s0..s3, ...]
+            # instead of n_s sequential full-B calls. A lockstep tile of
+            # 512 rays then covers 128 sorted lanes x n_s near-identical
+            # rays (same light, neighboring sample points) instead of 512
+            # lanes x 1 sample, so the tile's node-set union shrinks with
+            # no permutation: the interleave is a reshape of the stacked
+            # tensor. Per-lane walk results are independent of tile
+            # grouping (the chunk-invariance property), so occlusion bits
+            # are bit-identical to the sequential calls.
+            nee_stack = (
+                n_s > 1
+                and sort_bounces
+                and not shadow_own_sort
+                and _os.environ.get("TPU_RT_NEE_STACK", "0") == "1"
+            )
+            samples = []
             for _ in range(n_s):
                 ls, stream = sample_light(ds, li, hit.point, cfg, stream)
                 wi = _to_local(bx, by, hit.normal, -ls.direction)
@@ -351,6 +369,9 @@ def trace_radiance(
                 # (ADVICE.md round 3, counting convention in PERF_LOG
                 # round 4). Reference casts unconditionally lib.rs:340.
                 rays = rays + jnp.sum(shadow_act.astype(jnp.int32))
+                if nee_stack:
+                    samples.append((ls, wi, cos_theta, shadow_act))
+                    continue
                 occ = occluded(
                     ds, ls.origin, ls.direction,
                     jnp.full(Bb, 1.0e-3, f32),
@@ -358,6 +379,23 @@ def trace_radiance(
                     active=shadow_act,
                     presorted=sort_bounces and not shadow_own_sort,
                 )
+                samples.append((ls, wi, cos_theta, shadow_act, occ))
+            if nee_stack:
+                stk = lambda xs: jnp.stack(xs, axis=1).reshape(  # noqa: E731
+                    (n_s * Bb,) + xs[0].shape[1:])
+                occ_all = occluded(
+                    ds,
+                    stk([s[0].origin for s in samples]),
+                    stk([s[0].direction for s in samples]),
+                    jnp.full(n_s * Bb, 1.0e-3, f32),
+                    stk([s[0].distance - 1.0e-3 for s in samples]),
+                    active=stk([s[3] for s in samples]),
+                    presorted=True,
+                ).reshape(Bb, n_s)
+                samples = [
+                    s + (occ_all[:, k],) for k, s in enumerate(samples)
+                ]
+            for ls, wi, cos_theta, shadow_act, occ in samples:
                 good = shadow_act & ~occ
                 f = bsdf_eval(params, wo, wi, kinds, active=good)
                 safe_pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
