@@ -217,7 +217,12 @@ def make_sharded_accum_step(
     )
     jitted = jax.jit(mapped)
     ds_repl = jax.device_put(ds, NamedSharding(mesh, P()))
-    return lambda s0, px, py, active: jitted(ds_repl, s0, px, py, active)
+    step = lambda s0, px, py, active: jitted(ds_repl, s0, px, py, active)  # noqa: E731
+    # introspection handles (scripts/multichip_scaling.py lowers the
+    # jitted fn directly to audit the compiled HLO's collective census)
+    step.jitted = jitted
+    step.ds_repl = ds_repl
+    return step
 
 
 def render_accumulated_distributed(
