@@ -178,6 +178,14 @@ def test_nee_stack_bit_identical(monkeypatch, scene_setup):
     np.testing.assert_array_equal(off, np.asarray(on))
     assert int(on_rays) == int(off_rays)
 
+    # VMEM-capped grouping (TPU_RT_NEE_STACK_LANES): with B=256 lanes a
+    # 512-lane cap splits the n_s=3 stack into groups of 2+1 occluded()
+    # calls — grouping is a further tile regroup, so bits must not move
+    monkeypatch.setenv("TPU_RT_NEE_STACK_LANES", "512")
+    grp, grp_rays = trace_radiance(ds, cfg, st, px, py, 0)
+    np.testing.assert_array_equal(off, np.asarray(grp))
+    assert int(grp_rays) == int(off_rays)
+
 
 def test_ladder_bit_identical(monkeypatch, scene_setup):
     """Alive-prefix ladder (TPU_RT_LADDER): running the post-bounce-1

@@ -381,17 +381,33 @@ def trace_radiance(
                 )
                 samples.append((ls, wi, cos_theta, shadow_act, occ))
             if nee_stack:
-                stk = lambda xs: jnp.stack(xs, axis=1).reshape(  # noqa: E731
-                    (n_s * Bb,) + xs[0].shape[1:])
-                occ_all = occluded(
-                    ds,
-                    stk([s[0].origin for s in samples]),
-                    stk([s[0].direction for s in samples]),
-                    jnp.full(n_s * Bb, 1.0e-3, f32),
-                    stk([s[0].distance - 1.0e-3 for s in samples]),
-                    active=stk([s[3] for s in samples]),
-                    presorted=True,
-                ).reshape(Bb, n_s)
+                # VMEM cap: the bvh8t executable keeps the packed ray
+                # columns whole in VMEM, so a stacked call's lane count
+                # is bounded (4*131072 lanes = 23.9M scoped VMEM > the
+                # 16M limit, compile-time OOM). Stack samples in groups
+                # of g <= max(1, cap // Bb) per occluded() call; bits
+                # are bit-identical to any grouping (per-lane walks are
+                # grouping-invariant, the chunk-invariance property).
+                cap = int(_os.environ.get(
+                    "TPU_RT_NEE_STACK_LANES", str(1 << 18)))
+                g = max(1, min(n_s, cap // Bb))
+                occ_cols = []
+                for s0 in range(0, n_s, g):
+                    grp = samples[s0:s0 + g]
+                    ng = len(grp)
+                    stk = lambda xs: jnp.stack(xs, axis=1).reshape(  # noqa: E731
+                        (ng * Bb,) + xs[0].shape[1:])
+                    occ_g = occluded(
+                        ds,
+                        stk([s[0].origin for s in grp]),
+                        stk([s[0].direction for s in grp]),
+                        jnp.full(ng * Bb, 1.0e-3, f32),
+                        stk([s[0].distance - 1.0e-3 for s in grp]),
+                        active=stk([s[3] for s in grp]),
+                        presorted=True,
+                    ).reshape(Bb, ng)
+                    occ_cols.append(occ_g)
+                occ_all = jnp.concatenate(occ_cols, axis=1)
                 samples = [
                     s + (occ_all[:, k],) for k, s in enumerate(samples)
                 ]
