@@ -128,6 +128,72 @@ def test_b44_infnan_collapse():
     assert dec[0, 3] == np.float16(1.0)
 
 
+def _f24_expected(a: np.ndarray) -> np.ndarray:
+    """Reference float24 rounding: what PXR24 must reconstruct."""
+    return (exr._float_to_f24(a.view(np.uint32)) << np.uint32(8)).astype(
+        "<u4").view(np.float32)
+
+
+def test_roundtrip_pxr24(tmp_path):
+    """PXR24 rounds FLOAT to 15 mantissa bits; read-back must equal the
+    float24-rounded input exactly, HALF/UINT ride lossless."""
+    h, w = 37, 53
+    rng = np.random.default_rng(5)
+    fl = (rng.standard_normal((h, w)) * 100).astype(np.float32)
+    ids = rng.integers(0, 2**32, (h, w), dtype=np.uint32)
+    path = tmp_path / "pxr24.exr"
+    exr.write_exr(path, {"F": fl, "ID": ids}, compression=exr.COMP_PXR24)
+    read, width, height = exr.read_exr(path)
+    assert (width, height) == (w, h)
+    assert np.array_equal(read["F"], _f24_expected(fl))
+    assert np.array_equal(read["ID"], ids)
+    # the rounding is within 2^-16 relative of the input
+    rel = np.abs(read["F"] - fl) / np.maximum(np.abs(fl), 1e-30)
+    assert rel.max() < 2.0**-15
+
+
+def test_roundtrip_pxr24_half(tmp_path):
+    h, w = 20, 31
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal((h, w)).astype(np.float32)
+    path = tmp_path / "pxr24h.exr"
+    exr.write_exr(path, {"Y": a}, compression=exr.COMP_PXR24, half=True)
+    read, _, _ = exr.read_exr(path)
+    assert np.array_equal(
+        read["Y"], a.astype(np.float16).astype(np.float32))
+
+
+def test_pxr24_float24_specials():
+    """floatToFloat24 semantics: inf stays inf, NaN stays NaN (never
+    collapses to inf), mantissa overflow carries into the exponent."""
+    vals = np.array(
+        [np.inf, -np.inf, np.nan, 0.0, -0.0, 1.0, 65504.0], np.float32)
+    out = _f24_expected(vals)
+    assert np.isposinf(out[0]) and np.isneginf(out[1])
+    assert np.isnan(out[2])
+    assert out[3] == 0.0 and out[4] == 0.0 and np.signbit(out[4])
+    assert out[5] == 1.0
+    # a mantissa of all-ones rounds up into the next exponent
+    allones = np.array([np.float32(2.0) - np.float32(2.0) ** -23])
+    assert _f24_expected(allones)[0] == 2.0
+
+
+def test_pxr24_plane_layout():
+    """Hand-check the ImfPxr24Compressor block layout: per (scanline,
+    channel) difference byte planes, most-significant plane first."""
+    import zlib
+
+    a = np.array([[1.0, 2.0, 4.0]], "<f4")  # one line, three pixels
+    blob = exr._pxr24_compress({"F": a}, ["F"], {"F": exr.PIXEL_FLOAT},
+                               0, 1)
+    planes = np.frombuffer(zlib.decompress(blob), np.uint8)
+    f24 = exr._float_to_f24(a[0].view(np.uint32))
+    diff = np.array([f24[0], f24[1] - f24[0], f24[2] - f24[1]], np.uint32)
+    expect = np.concatenate(
+        [(diff >> s) & 0xFF for s in (16, 8, 0)]).astype(np.uint8)
+    assert np.array_equal(planes, expect)
+
+
 def test_unsupported_compression_message(tmp_path):
     """DWAA files produce one actionable error naming the codec."""
     import pytest

@@ -3,13 +3,14 @@
 Capability parity with the reference's exr paths
 (crates/raytracing-cpu/src/utils.rs:50-131 writes; the `exr` crate reads
 arbitrary real-world files): float32/uint32 channels with arbitrary
-names. Supports writing NONE/RLE/ZIP/PIZ/B44/B44A scanline files and
-reading NONE/RLE/ZIPS/ZIP/PIZ/B44/B44A files with HALF/FLOAT/UINT
-channels — enough to round-trip our own outputs and load lat-long
+names. Supports writing NONE/RLE/ZIP/PIZ/PXR24/B44/B44A scanline files
+and reading NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A files with
+HALF/FLOAT/UINT channels — every compression the reference's `exr`
+crate reads — enough to round-trip our own outputs and load lat-long
 environment maps in the wild (typically PIZ or B44). DWAA/DWAB (a
 DCT-based codec) is detected and reported with a re-encode hint — the
 same gap the reference's `exr` crate has. PIZ wavelet/Huffman logic
-lives in exr_piz.py; the B44 4x4-block codec is below.
+lives in exr_piz.py; the B44 4x4-block and PXR24 codecs are below.
 """
 from __future__ import annotations
 
@@ -302,6 +303,103 @@ def _b44_decode_channel(data: bytes, pos: int, ny: int, w: int,
     return out[:ny, :w], p
 
 
+# ---------------------------------------------------------------------------
+# PXR24 (ImfPxr24Compressor): FLOAT channels rounded to a 24-bit float
+# (8-bit exponent, 15-bit mantissa), then per-(scanline, channel) byte
+# planes of pixel-to-pixel differences, zlib over the whole block.
+# HALF rides lossless as 2 planes, UINT as 4. The one lossy codec the
+# reference's `exr` crate reads that round-trips everything we write
+# (radiance easily survives 15 mantissa bits).
+
+
+def _float_to_f24(u: np.ndarray) -> np.ndarray:
+    """f32 bit patterns (u32) -> 24-bit float patterns (u32, low byte 0
+    dropped), round-to-nearest on the mantissa; NaN keeps a nonzero
+    mantissa bit, infinities/denormals follow the f32 encoding."""
+    u = u.astype(np.uint32)
+    s = (u & np.uint32(0x80000000)) >> np.uint32(8)
+    e = u & np.uint32(0x7F800000)
+    m = u & np.uint32(0x007FFFFF)
+    m2 = (m + np.uint32(0x80)) >> np.uint32(8)
+    ovf = (m2 & np.uint32(0x8000)) != 0
+    m2 = np.where(ovf, np.uint32(0), m2)
+    e2 = e + np.where(ovf, np.uint32(0x00800000), np.uint32(0))
+    i24 = (e2 >> np.uint32(8)) | m2
+    mn = m >> np.uint32(8)
+    nan24 = (e >> np.uint32(8)) | mn | (mn == 0).astype(np.uint32)
+    inf24 = e >> np.uint32(8)
+    i24 = np.where(
+        e == np.uint32(0x7F800000), np.where(m != 0, nan24, inf24), i24
+    )
+    return (s | i24).astype(np.uint32)
+
+
+def _pxr24_planes(vals: np.ndarray, nbytes: int) -> bytes:
+    """Difference-encode one channel row into nbytes big-endian byte
+    planes (plane 0 = most significant byte of each pixel's diff)."""
+    d = np.empty_like(vals)
+    d[0] = vals[0]
+    np.subtract(vals[1:], vals[:-1], out=d[1:])
+    planes = [
+        ((d >> np.uint32(8 * k)) & np.uint32(0xFF)).astype(np.uint8)
+        for k in range(nbytes - 1, -1, -1)
+    ]
+    return np.concatenate(planes).tobytes()
+
+
+def _pxr24_unplanes(buf: np.ndarray, pos: int, n: int, nbytes: int):
+    """Inverse of _pxr24_planes: read nbytes planes of n diffs starting
+    at pos, prefix-sum back to pixel values (u32, wraps mod 2^(8*nbytes)
+    like the C accumulation). Returns (values, new pos)."""
+    total = nbytes * n
+    b = buf[pos:pos + total].astype(np.uint32)
+    diff = np.zeros(n, np.uint32)
+    for k in range(nbytes):
+        diff = (diff << np.uint32(8)) | b[k * n:(k + 1) * n]
+    vals = np.cumsum(diff, dtype=np.uint32)
+    if nbytes < 4:
+        vals &= np.uint32((1 << (8 * nbytes)) - 1)
+    return vals, pos + total
+
+
+def _pxr24_compress(arrs, names, ch_types, y0: int, ny: int) -> bytes:
+    parts = []
+    for dy in range(ny):
+        for name in names:
+            row = arrs[name][y0 + dy]
+            pt = ch_types[name]
+            if pt == PIXEL_FLOAT:
+                parts.append(
+                    _pxr24_planes(_float_to_f24(row.view("<u4")), 3))
+            elif pt == PIXEL_HALF:
+                parts.append(
+                    _pxr24_planes(row.view("<u2").astype(np.uint32), 2))
+            else:
+                parts.append(_pxr24_planes(row.view("<u4"), 4))
+    return zlib.compress(b"".join(parts))
+
+
+def _pxr24_decode(data: bytes, channels, ny: int, width: int) -> bytes:
+    """Decode one PXR24 block back to the generic scanline-interleaved
+    layout (per line, channels in stored order, raw row bytes)."""
+    buf = np.frombuffer(zlib.decompress(data), np.uint8)
+    pos = 0
+    lines = []
+    for _ in range(ny):
+        for _, pt in channels:
+            if pt == PIXEL_FLOAT:
+                vals, pos = _pxr24_unplanes(buf, pos, width, 3)
+                lines.append(
+                    (vals << np.uint32(8)).astype("<u4").tobytes())
+            elif pt == PIXEL_HALF:
+                vals, pos = _pxr24_unplanes(buf, pos, width, 2)
+                lines.append(vals.astype("<u2").tobytes())
+            else:
+                vals, pos = _pxr24_unplanes(buf, pos, width, 4)
+                lines.append(vals.astype("<u4").tobytes())
+    return b"".join(lines)
+
+
 def write_exr(
     path,
     channels: Dict[str, np.ndarray],
@@ -346,7 +444,7 @@ def write_exr(
 
     lines_per_block = {
         COMP_NONE: 1, COMP_RLE: 1, COMP_ZIPS: 1, COMP_ZIP: 16,
-        COMP_PIZ: 32, COMP_B44: 32, COMP_B44A: 32,
+        COMP_PIZ: 32, COMP_B44: 32, COMP_B44A: 32, COMP_PXR24: 16,
     }[compression]
     n_blocks = (height + lines_per_block - 1) // lines_per_block
 
@@ -396,6 +494,9 @@ def write_exr(
 
             sizes = [_DTYPES[ch_types[n]].itemsize // 2 for n in names]
             comp = piz_compress(raw, sizes, width, ny)
+            data = comp if len(comp) < len(raw) else raw
+        elif compression == COMP_PXR24:
+            comp = _pxr24_compress(arrs, names, ch_types, y0, ny)
             data = comp if len(comp) < len(raw) else raw
         else:
             comp = zlib.compress(_zip_reorder_encode(raw))
@@ -463,7 +564,7 @@ def read_exr_bytes(raw: bytes) -> Tuple[Dict[str, np.ndarray], int, int]:
     height = y_max - y_min + 1
     supported = (
         COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ,
-        COMP_B44, COMP_B44A,
+        COMP_PXR24, COMP_B44, COMP_B44A,
     )
     if compression not in supported:
         name = _COMP_NAMES.get(compression, str(compression))
@@ -474,7 +575,7 @@ def read_exr_bytes(raw: bytes) -> Tuple[Dict[str, np.ndarray], int, int]:
         )
     lines_per_block = {
         COMP_NONE: 1, COMP_RLE: 1, COMP_ZIPS: 1, COMP_ZIP: 16,
-        COMP_PIZ: 32, COMP_B44: 32, COMP_B44A: 32,
+        COMP_PIZ: 32, COMP_B44: 32, COMP_B44A: 32, COMP_PXR24: 16,
     }[compression]
     n_blocks = (height + lines_per_block - 1) // lines_per_block
 
@@ -515,6 +616,8 @@ def read_exr_bytes(raw: bytes) -> Tuple[Dict[str, np.ndarray], int, int]:
                 data = piz_uncompress(data, sizes, width, ny)
             elif compression == COMP_RLE:
                 data = _zip_reorder_decode(_rle_decompress(data, expected))
+            elif compression == COMP_PXR24:
+                data = _pxr24_decode(data, channels, ny, width)
             else:
                 data = _zip_reorder_decode(zlib.decompress(data))
         p = 0
