@@ -116,16 +116,24 @@ def render_accumulated(
         # Final chunk may be short when total_spp % spp_chunk != 0; a second
         # jitted specialization keeps shapes/trip counts static.
         this_chunk = min(spp_chunk, total_spp - spp_done)
-        rays_box = [0]
+        # ray counts stay device scalars until after the pixel-chunk
+        # loop: an int() here would block each dispatch and serialize
+        # the async chunk pipeline _run_chunked builds (round-5 edge
+        # probes, scripts/probe_edges{,2}.py — per-scalar fetches are
+        # ~30 ms tunnel round trips each)
+        rays_dev = []
 
         def run(a, b, act):
             r, n = chunk_fn(ds, cfg, st, this_chunk, s0, a, b, act)
-            rays_box[0] += int(n)
+            rays_dev.append(n)
             return r
 
         (partial_sum,) = _run_chunked(run, px, py, 1, chunk_pixels)
         accum = accum + partial_sum
-        rays_total += rays_box[0]
+        if len(rays_dev) > 1:
+            rays_total += int(np.asarray(jnp.stack(rays_dev)).sum())
+        else:
+            rays_total += int(rays_dev[0])
         spp_done += this_chunk
         log.info(
             "accumulated %d/%d spp (%.2fs)", spp_done, total_spp,

@@ -22,6 +22,7 @@ mutex work queue of the CPU backend becomes data parallelism.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from functools import partial
@@ -1004,6 +1005,7 @@ def _interleave_bits(v: np.ndarray) -> np.ndarray:
     return v
 
 
+@functools.lru_cache(maxsize=8)
 def _pixel_grid(width: int, height: int):
     """Flat pixel lists in Morton order (+ the inverse permutation).
 
@@ -1011,7 +1013,10 @@ def _pixel_grid(width: int, height: int):
     per-chunk worst-case traversal depth — what a lockstep while_loop pays
     for — tracks the local scene complexity instead of a whole image row.
     Per-pixel results are order-independent (RNG keyed by pixel), so this
-    never changes the image.
+    never changes the image. Cached per resolution: the 480k-pixel
+    argsort costs ~40 ms per render call, ~2.5% of a warm cbbunny wall
+    (round-5 edge probe, scripts/probe_edges.py). Callers treat the
+    arrays as read-only.
     """
     xs = np.arange(width, dtype=np.uint32)
     ys = np.arange(height, dtype=np.uint32)
@@ -1149,8 +1154,17 @@ def render(
             return r
 
         (beauty,) = _run_chunked(beauty_fn, px, py, 1, chunk_pixels)
+        # one stacked fetch for the per-chunk ray counts: each int() on a
+        # device scalar is a ~30 ms round trip over the remote-TPU
+        # tunnel, and they serialize AFTER the (overlapped) beauty
+        # fetches — 4 chunks cost ~120 ms of pure latency (+8% wall,
+        # round-5 edge probe C, scripts/probe_edges2.py)
+        if len(ray_counts) > 1 and _os.environ.get(
+                "TPU_RT_BATCH_COUNTS", "1") == "1":
+            out.rays_traced = int(np.asarray(jnp.stack(ray_counts)).sum())
+        else:
+            out.rays_traced = int(sum(int(n) for n in ray_counts))
         dt = time.perf_counter() - t0
-        out.rays_traced = int(sum(int(n) for n in ray_counts))
         log.info(
             "beauty pass took %.3fs (%d rays, %.1f Mrays/s)",
             dt, out.rays_traced, out.rays_traced / dt / 1e6,
